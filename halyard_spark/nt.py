@@ -1,0 +1,208 @@
+"""N-Triples term codec.
+
+Halyard stores every RDF term as its N-Triples lexical string
+(common/.../HalyardTableUtils.java:512-514 — NTriplesUtil.toNTriplesString)
+and parses it back (HalyardTableUtils.java:516-526).  We keep the same
+self-describing lexical representation so term-kind tests, language tags,
+and datatypes are recoverable from the stored string:
+
+    IRI      : <http://example/a>
+    bnode    : _:b0
+    literal  : "escaped text"  |  "text"@en  |  "3"^^<...#integer>
+
+Three implementations of the same codec, one per execution surface:
+- plain Python (`iri`/`lit`/`parse_term`) for fixtures and golden tests,
+- Spark Column expressions (`nt_iri`/`nt_lit`/...) for JVM-side hot paths
+  (whole-stage codegen — no Python involved),
+- pandas vectorized (`pd_iri`/`pd_lit`) for inside mapInPandas stages.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+# Reserved vocabulary (mirrors strategy/.../vocab/HALYARD.java namespace idea)
+NS = "urn:halyard-spark:"
+
+# ---------------------------------------------------------------- python
+
+_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+
+def escape(s: str) -> str:
+    for raw, esc in _ESCAPES:
+        s = s.replace(raw, esc)
+    return s
+
+
+def unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            out.append({"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def iri(s: str) -> str:
+    return f"<{s}>"
+
+
+def bnode(label: str) -> str:
+    return f"_:{label}"
+
+
+def lit(s: str, lang: str | None = None, dtype: str | None = None) -> str:
+    base = f'"{escape(str(s))}"'
+    if lang:
+        return f"{base}@{lang}"
+    if dtype:
+        return f"{base}^^<{dtype}>"
+    return base
+
+
+def parse_term(t: str) -> dict:
+    """Parse an N-Triples term into {kind, value, lang, datatype}."""
+    if t.startswith("<") and t.endswith(">"):
+        return {"kind": "iri", "value": t[1:-1], "lang": None, "datatype": None}
+    if t.startswith("_:"):
+        return {"kind": "bnode", "value": t[2:], "lang": None, "datatype": None}
+    if t.startswith('"'):
+        # find closing quote that is not escaped
+        i = 1
+        while i < len(t):
+            if t[i] == "\\":
+                i += 2
+                continue
+            if t[i] == '"':
+                break
+            i += 1
+        label = unescape(t[1:i])
+        rest = t[i + 1 :]
+        if rest.startswith("@"):
+            return {"kind": "literal", "value": label, "lang": rest[1:], "datatype": RDF + "langString"}
+        if rest.startswith("^^<") and rest.endswith(">"):
+            return {"kind": "literal", "value": label, "lang": None, "datatype": rest[3:-1]}
+        return {"kind": "literal", "value": label, "lang": None, "datatype": XSD + "string"}
+    raise ValueError(f"not an N-Triples term: {t!r}")
+
+
+# ---------------------------------------------------------------- spark
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def nt_escape(col: str | Column) -> Column:
+    c = _c(col)
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def nt_iri(col: str | Column) -> Column:
+    return F.concat(F.lit("<"), _c(col), F.lit(">"))
+
+
+def nt_bnode(col: str | Column) -> Column:
+    return F.concat(F.lit("_:"), _c(col))
+
+
+def nt_lit(col: str | Column, lang: str | None = None, dtype: str | None = None) -> Column:
+    base = F.concat(F.lit('"'), nt_escape(col), F.lit('"'))
+    if lang:
+        return F.concat(base, F.lit(f"@{lang}"))
+    if dtype:
+        return F.concat(base, F.lit(f"^^<{dtype}>"))
+    return base
+
+
+def nt_is_iri(col: str | Column) -> Column:
+    return _c(col).startswith("<")
+
+
+def nt_is_bnode(col: str | Column) -> Column:
+    return _c(col).startswith("_:")
+
+
+def nt_is_literal(col: str | Column) -> Column:
+    return _c(col).startswith('"')
+
+
+def nt_iri_value(col: str | Column) -> Column:
+    """IRI lexical form -> bare IRI string (inverse of nt_iri)."""
+    return F.regexp_extract(_c(col), r"^<(.*)>$", 1)
+
+
+def nt_str(col: str | Column) -> Column:
+    """SPARQL STR(): IRI -> string, literal -> label.
+
+    Mirrors HalyardValueExprEvaluation.java:272-286.
+    """
+    c = _c(col)
+    return (
+        F.when(nt_is_iri(c), nt_iri_value(c))
+        .when(nt_is_literal(c), F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1))
+        .otherwise(c)
+    )
+
+
+def nt_lang(col: str | Column) -> Column:
+    """SPARQL LANG(): language tag or '' (HalyardValueExprEvaluation.java:320-331)."""
+    return F.regexp_extract(_c(col), r'^".*"@([A-Za-z][A-Za-z0-9-]*)$', 1)
+
+
+def nt_datatype(col: str | Column) -> Column:
+    """SPARQL DATATYPE() (HalyardValueExprEvaluation.java:341-356)."""
+    c = _c(col)
+    explicit = F.regexp_extract(c, r"\^\^<(.*)>$", 1)
+    return (
+        F.when(~nt_is_literal(c), F.lit(None).cast("string"))
+        .when(explicit != "", explicit)
+        .when(nt_lang(c) != "", F.lit(RDF + "langString"))
+        .otherwise(F.lit(XSD + "string"))
+    )
+
+
+def nt_localname(col: str | Column) -> Column:
+    """IRI local name after last '#' or '/' (HalyardValueExprEvaluation.java:366-392)."""
+    return F.element_at(F.split(nt_iri_value(col), r"[#/]"), -1)
+
+
+# ---------------------------------------------------------------- pandas
+
+
+def pd_escape(s: pd.Series) -> pd.Series:
+    s = s.str.replace("\\", "\\\\", regex=False)
+    s = s.str.replace('"', '\\"', regex=False)
+    s = s.str.replace("\n", "\\n", regex=False)
+    s = s.str.replace("\r", "\\r", regex=False)
+    s = s.str.replace("\t", "\\t", regex=False)
+    return s
+
+
+def pd_iri(s: pd.Series) -> pd.Series:
+    return "<" + s + ">"
+
+
+def pd_lit(s: pd.Series, lang: str | None = None, dtype: str | None = None) -> pd.Series:
+    base = '"' + pd_escape(s.astype(str)) + '"'
+    if lang:
+        return base + f"@{lang}"
+    if dtype:
+        return base + f"^^<{dtype}>"
+    return base

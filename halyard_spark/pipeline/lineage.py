@@ -1,0 +1,75 @@
+"""Per-stage lineage + idempotent resume.
+
+Halyard's bulk jobs are resumable at the granularity of an MR job whose
+output HFiles are atomically adopted (LoadIncrementalHFiles.doBulkLoad,
+tools/.../HalyardBulkLoad.java:567) — a failed run leaves the table at the
+previous snapshot.  Our analog (FIXTURES.md A4): every stage writes its
+output to parquet and appends a lineage row
+
+    (stage, input_fingerprint, rows_out, wall_ms, run_ts, extra)
+
+where input_fingerprint is an order-independent hash of the stage input.
+On re-run, a stage whose (stage, input_fingerprint) matches an existing
+lineage row with intact output is SKIPPED — resume is a pure lookup, and
+retries overwrite (mode="overwrite") rather than blind-append, so a crash
+mid-stage can never double-count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "stage string, input_fingerprint string, rows_out long, wall_ms long, run_ts long, extra string"
+
+
+def fingerprint(df: DataFrame, cols: list[str]) -> str:
+    """Order-independent content fingerprint: count + xor of xxhash64."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("s"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _lineage_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def stage_done(spark: SparkSession, out_dir: str, stage: str, input_fp: str, output_path: str) -> bool:
+    lin = read_lineage(spark, out_dir)
+    if lin is None or not os.path.exists(os.path.join(output_path, "_SUCCESS")):
+        return False
+    n = (
+        lin.where((F.col("stage") == stage) & (F.col("input_fingerprint") == input_fp))
+        .limit(1)
+        .count()
+    )
+    return n > 0
+
+
+def record_stage(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str,
+    input_fp: str,
+    rows_out: int,
+    wall_ms: int,
+    extra: dict | None = None,
+) -> None:
+    row = [(stage, input_fp, rows_out, wall_ms, int(time.time()), json.dumps(extra or {}))]
+    spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(_lineage_path(out_dir))

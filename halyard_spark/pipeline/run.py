@@ -1,0 +1,115 @@
+"""End-to-end pipeline orchestration (the `halyard bulkload` analog).
+
+src table -> extract -> link -> canonicalize -> triples -> materialize
+-> stats, with per-stage lineage + resume.  Every stage persists to
+parquet under ``out_dir`` and is skipped on re-run when its input
+fingerprint already has a lineage row (idempotent resume,
+pipeline/lineage.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from halyard_spark import nt
+from halyard_spark.pipeline import cc, extract, lineage, link, materialize, stats, triples
+
+
+def _entity_edges(mentions: DataFrame) -> DataFrame:
+    """sameAs candidate edges: entities co-defined in the same file.
+
+    Star-per-file (each entity -> lexicographic-min entity of its file)
+    keeps edge count linear in mention count — no quadratic per-file blowup
+    even for god-files in the mega-repo.
+    """
+    defs = mentions.filter(F.col("kind") == "class").select(
+        "repo",
+        "path",
+        nt.nt_iri(F.format_string("urn:entity:class:%s", F.col("name"))).alias("entity"),
+    )
+    hubs = defs.groupBy("repo", "path").agg(F.min("entity").alias("hub"))
+    return (
+        defs.join(hubs, ["repo", "path"])
+        .where(F.col("entity") != F.col("hub"))
+        .select(F.col("entity").alias("src"), F.col("hub").alias("dst"))
+        .distinct()
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    link_strategy: str = "auto",
+) -> dict:
+    """Run all stages; returns {stage: {rows, wall_ms, skipped}} + totals."""
+    report: dict = {}
+    t_start = time.time()
+    src_fp = lineage.fingerprint(src, ["repo", "path", "commit"])
+
+    def run_stage(name: str, out_path: str, builder) -> DataFrame:
+        t0 = time.time()
+        if resume and lineage.stage_done(spark, out_dir, name, src_fp, out_path):
+            df = spark.read.parquet(out_path)
+            report[name] = {"rows": df.count(), "wall_ms": int((time.time() - t0) * 1000), "skipped": True}
+            return df
+        df = builder()
+        df.write.mode("overwrite").parquet(out_path)
+        out = spark.read.parquet(out_path)
+        rows = out.count()
+        wall = int((time.time() - t0) * 1000)
+        lineage.record_stage(spark, out_dir, name, src_fp, rows, wall)
+        report[name] = {"rows": rows, "wall_ms": wall, "skipped": False}
+        return out
+
+    mentions = run_stage("extract", f"{out_dir}/mentions", lambda: extract.extract_mentions(src))
+
+    dictionary = run_stage("dictionary", f"{out_dir}/dictionary", lambda: link.build_dictionary(mentions))
+
+    linked = run_stage(
+        "link",
+        f"{out_dir}/linked",
+        lambda: link.link_mentions(mentions, dictionary, strategy=link_strategy),
+    )
+
+    def build_canon() -> DataFrame:
+        edges = _entity_edges(mentions)
+        all_entities = dictionary.select(F.col("canonical_id").alias("entity"))
+        return cc.canonical_map(edges, all_entities)
+
+    canonical = run_stage("canonicalize", f"{out_dir}/canonical", build_canon)
+
+    src_meta = src.select(
+        "repo", "path", "commit", "lang", F.sha2(F.col("content").cast("binary"), 256).alias("content_sha256")
+    )
+    quads = run_stage(
+        "triples",
+        f"{out_dir}/quads",
+        lambda: triples.emit_triples(src_meta, mentions, linked, canonical, spark),
+    )
+
+    t0 = time.time()
+    if resume and lineage.stage_done(spark, out_dir, "materialize", src_fp, f"{out_dir}/store/spo"):
+        manifest = {"skipped": True}
+        triple_count = materialize.read_index(spark, f"{out_dir}/store", "spo").count()
+        report["materialize"] = {"rows": triple_count, "wall_ms": int((time.time() - t0) * 1000), "skipped": True}
+    else:
+        manifest = materialize.write_store(quads, f"{out_dir}/store")
+        triple_count = manifest["triple_count"]
+        wall = int((time.time() - t0) * 1000)
+        lineage.record_stage(spark, out_dir, "materialize", src_fp, triple_count, wall, manifest)
+        report["materialize"] = {"rows": triple_count, "wall_ms": wall, "skipped": False}
+
+    run_stage("stats", f"{out_dir}/void_stats", lambda: stats.void_stats(quads))
+
+    total_wall = time.time() - t_start
+    report["_total"] = {
+        "wall_sec": round(total_wall, 3),
+        "triples": triple_count,
+        "triples_per_sec": round(triple_count / total_wall, 1),
+    }
+    return report

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from halyard_spark import nt
+
+
+def test_roundtrip_python():
+    for s in ['plain', 'with "quotes"', "tabs\tand\nnewlines\\slash", "x" * 100_000]:
+        t = nt.lit(s)
+        parsed = nt.parse_term(t)
+        assert parsed["kind"] == "literal"
+        assert parsed["value"] == s
+    assert nt.parse_term(nt.iri("urn:x"))["value"] == "urn:x"
+    assert nt.parse_term(nt.bnode("b0"))["kind"] == "bnode"
+    assert nt.parse_term(nt.lit("hi", lang="en"))["lang"] == "en"
+    assert nt.parse_term(nt.lit("3", dtype=nt.XSD + "integer"))["datatype"].endswith("integer")
+
+
+def test_spark_matches_python(spark):
+    values = ['plain', 'q"uo"te', "nl\nnl", "tab\ttab", "back\\slash"]
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    rows = df.select(
+        nt.nt_lit("v").alias("lit"),
+        nt.nt_iri("v").alias("iri"),
+    ).collect()
+    for v, row in zip(values, rows):
+        assert row["lit"] == nt.lit(v), v
+        assert row["iri"] == nt.iri(v)
+    # pandas variant agrees too
+    pdv = nt.pd_lit(pd.Series(values))
+    assert list(pdv) == [nt.lit(v) for v in values]
+
+
+def test_spark_accessors(spark):
+    df = spark.createDataFrame(
+        [(nt.iri("urn:ns#Local"),), (nt.lit("hello", lang="en"),), (nt.lit("3", dtype=nt.XSD + "integer"),), (nt.lit('a"b'),)],
+        ["t"],
+    )
+    got = df.select(
+        nt.nt_is_iri("t").alias("is_iri"),
+        nt.nt_is_literal("t").alias("is_lit"),
+        nt.nt_str("t").alias("s"),
+        nt.nt_lang("t").alias("lang"),
+        nt.nt_datatype("t").alias("dt"),
+    ).collect()
+    assert got[0]["is_iri"] and not got[0]["is_lit"] and got[0]["s"] == "urn:ns#Local"
+    assert got[1]["lang"] == "en" and got[1]["dt"] == nt.RDF + "langString"
+    assert got[2]["dt"] == nt.XSD + "integer" and got[2]["s"] == "3"
+    assert got[3]["dt"] == nt.XSD + "string" and got[3]["s"] == 'a\\"b'
+
+    loc = spark.createDataFrame([(nt.iri("urn:ns#Local"),)], ["t"]).select(nt.nt_localname("t").alias("l")).collect()
+    assert loc[0]["l"] == "Local"

@@ -1,0 +1,122 @@
+"""Pipeline correctness gates (BASELINE.json north rule):
+
+- triple P/R >= 0.95 vs the independent golden emission (tests/golden.py),
+- per-row content sha256 equality vs the source table,
+- determinism at two parallelism levels,
+- idempotent resume from lineage,
+- connected-components unit correctness on chains/cycles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from halyard_spark import corpus
+from halyard_spark.pipeline import cc, extract, link, run
+from tests import golden
+
+N_FILES = 400
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return corpus.generate_src(spark, N_FILES).cache()
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, src, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg"))
+    report = run.run_pipeline(spark, src, out)
+    return out, report
+
+
+def test_corpus_deterministic_across_parallelism(spark):
+    a = corpus.generate_src(spark, 100, parallelism=2).orderBy("repo", "path").collect()
+    b = corpus.generate_src(spark, 100, parallelism=16).orderBy("repo", "path").collect()
+    assert a == b
+    # mega-repo skew present
+    from collections import Counter
+
+    c = Counter(r["repo"] for r in a)
+    assert c[corpus.MEGA_REPO] == 30
+
+
+def test_extract_no_per_row_python(spark, src):
+    m = extract.extract_mentions(src)
+    kinds = {r["kind"] for r in m.select("kind").distinct().collect()}
+    assert {"module", "import", "class", "function"} <= kinds
+    # every file yields a module mention + >=1 class
+    per_file = m.groupBy("repo", "path").count()
+    assert per_file.where(F.col("count") < 2).count() == 0
+
+
+def test_sha256_per_row_invariant(spark, src):
+    """content sha256 computed in the pipeline == hashlib over the source."""
+    m = extract.extract_mentions(src).select("repo", "path", "content_sha256").distinct()
+    joined = (
+        src.select("repo", "path", "content")
+        .join(m, ["repo", "path"])
+        .collect()
+    )
+    assert len(joined) == N_FILES
+    for row in joined:
+        assert hashlib.sha256(row["content"].encode()).hexdigest() == row["content_sha256"]
+
+
+def test_connected_components_chain_and_cycle(spark):
+    # chain a-b-c-d-e, cycle x-y-z-x, isolated pair p-q
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"), ("x", "y"), ("y", "z"), ("z", "x"), ("q", "p")],
+        ["src", "dst"],
+    )
+    got = {(r["node"], r["component"]) for r in cc.connected_components(edges).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("e", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+        ("p", "p"), ("q", "p"),
+    }
+
+
+def test_pipeline_pr_vs_golden(spark, src, pipeline_out):
+    out, report = pipeline_out
+    actual = {
+        (r["subj"], r["pred"], r["obj"], r["ctx"])
+        for r in spark.read.parquet(f"{out}/quads").collect()
+    }
+    expected = golden.golden_triples(src.toPandas())
+    p, r = golden.precision_recall(actual, expected)
+    assert p >= 0.95, f"precision {p}: extra={list(actual - expected)[:5]}"
+    assert r >= 0.95, f"recall {r}: missing={list(expected - actual)[:5]}"
+    # in fact we target exact agreement
+    assert p == 1.0 and r == 1.0
+
+
+def test_store_indexes_written(spark, pipeline_out):
+    out, report = pipeline_out
+    from halyard_spark.pipeline import materialize
+
+    spo = materialize.read_index(spark, f"{out}/store", "spo")
+    pos = materialize.read_index(spark, f"{out}/store", "pos")
+    assert spo.count() == pos.count() == report["materialize"]["rows"]
+    assert materialize.pick_index(False, True, False) == "pos"
+    assert materialize.pick_index(False, False, True) == "osp"
+
+
+def test_resume_skips_stages(spark, src, pipeline_out):
+    out, _ = pipeline_out
+    report2 = run.run_pipeline(spark, src, out, resume=True)
+    for stage in ("extract", "dictionary", "link", "canonicalize", "triples", "materialize"):
+        assert report2[stage]["skipped"], stage
+
+
+def test_link_salted_equals_broadcast(spark, src):
+    m = extract.extract_mentions(src).cache()
+    d = link.build_dictionary(m).cache()
+    a = link.link_mentions(m, d, strategy="broadcast")
+    b = link.link_mentions(m, d, strategy="salted", salt_buckets=4)
+    cols = ["repo", "path", "kind", "name", "canonical_id"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0

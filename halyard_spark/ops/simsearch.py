@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline.  The dot product runs
+  JVM-side via ``aggregate(zip_with(...))`` — sequential fold over the
+  vector, so the float result is deterministic (no partition-order
+  dependence) and engine-portable after rounding.
+- LSH-bucketed ANN: random-hyperplane sign bucketing (Charikar'02).
+  Planes are seeded numpy constants baked into the plan as literal
+  arrays; candidates share a bucket, then exact cosine re-ranks.
+  At 100 TB the bucket join replaces the O(Q x N) cross join with
+  O(Q x N / 2^bits) and both sides shuffle only on the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, rank, vec_id, cosine).
+
+    queries must have columns (id_col, vec_col).  Queries are broadcast
+    (the small side); candidates stream — no shuffle of the big side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qnorm", _norm(F.col("_qvec")))
+    c = emb.select(F.col(id_col), F.col(vec_col)).withColumn("_norm", _norm(F.col(vec_col)))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col(vec_col), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8, vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Add a 'bucket' column: sign-bit string over n_planes hyperplanes."""
+    planes = _planes(dim, n_planes, seed)
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return emb.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket,
+    exact cosine re-rank inside it.  Recall < 1 by design; the scale path."""
+    qb = lsh_bucket(queries, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "bucket"
+    ).withColumn("_qnorm", _norm(F.col("_qvec")))
+    cb = lsh_bucket(emb, dim, n_planes, vec_col).withColumn("_norm", _norm(F.col(vec_col)))
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col(vec_col), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine")
+    )

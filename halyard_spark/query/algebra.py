@@ -1,0 +1,136 @@
+"""SPARQL algebra nodes -> DataFrame combinators.
+
+Line-mapped to the reference implementations in
+strategy/.../HalyardTupleExprEvaluation.java (HTEE below).  Halyard's one
+physical join strategy is an async index-nested-loop bind join
+(HTEE:735-762); Spark instead picks broadcast / shuffled-hash /
+sort-merge per Catalyst + AQE, which is the point of the rebuild.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shared_vars(left: DataFrame, right: DataFrame) -> list[str]:
+    return [c for c in left.columns if c in set(right.columns)]
+
+
+def bgp_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Join (BGP '.'): inner join on shared variables (HTEE:735-762).
+
+    No shared variables -> cross product, per SPARQL join semantics.
+    """
+    shared = _shared_vars(left, right)
+    if not shared:
+        return left.crossJoin(right)
+    return left.join(right, on=shared, how="inner")
+
+
+def optional_join(left: DataFrame, right: DataFrame, condition: Column | None = None) -> DataFrame:
+    """LeftJoin (OPTIONAL), condition evaluated in the right scope
+    (HTEE:770-866)."""
+    shared = _shared_vars(left, right)
+    if shared:
+        cond = reduce(
+            lambda a, b: a & b, [left[c].eqNullSafe(right[c]) for c in shared]
+        )
+        if condition is not None:
+            cond = cond & condition
+        joined = left.join(right, on=cond, how="left_outer")
+        # collapse the duplicated shared columns (keep left's)
+        for c in shared:
+            joined = joined.drop(right[c])
+        return joined
+    if condition is not None:
+        return left.join(right, on=condition, how="left_outer")
+    return left.join(right, how="left_outer")
+
+
+def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Difference (MINUS): drop left rows compatible with a right row
+    sharing >=1 variable; rows with disjoint domains are KEPT
+    (HTEE:944-994 — the SPARQL-algebra subtlety).
+    """
+    shared = _shared_vars(left, right)
+    if not shared:
+        return left  # no shared vars -> nothing is removed
+    return left.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+
+
+def intersection(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Intersection: left rows whose full binding set appears in right
+    (HTEE:900-936; spill set -> Spark native left-semi)."""
+    return left.join(right, on=left.columns, how="left_semi")
+
+
+def union_bag(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Union: bag semantics, no dedup (HTEE:874-892)."""
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+def values_table(spark, rows: list[tuple], schema: str) -> DataFrame:
+    """BindingSetAssignment (VALUES): inline table (HTEE:1106-1145);
+    merging with incoming bindings is the subsequent bgp_join."""
+    return spark.createDataFrame(rows, schema)
+
+
+def distinct(df: DataFrame) -> DataFrame:
+    """DISTINCT: global dedup (HTEE:526-551 BigHashSet spill set ->
+    Spark's spilling dropDuplicates)."""
+    return df.dropDuplicates()
+
+
+def reduced(df: DataFrame) -> DataFrame:
+    """REDUCED permits any amount of dedup (HTEE:503-518 removes only
+    adjacent dups); full dedup is a conforming implementation."""
+    return df.dropDuplicates()
+
+
+def order_limit(df: DataFrame, *order: Column, limit: int | None = None) -> DataFrame:
+    """Order (+ fused LIMIT -> top-K).  Halyard fuses a downstream LIMIT
+    into its spill sorter (Sorter.java:63-82, getLimit HTEE:1150-1172);
+    Spark's TakeOrderedAndProject is the same optimization for free."""
+    out = df.orderBy(*order)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def slice_rows(df: DataFrame, offset: int = 0, limit: int | None = None) -> DataFrame:
+    """Slice (LIMIT/OFFSET) (HTEE:601-622)."""
+    out = df.offset(offset) if offset else df
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """Group: SPARQL 1.1 aggregate set — COUNT/SUM/MIN/MAX/AVG/
+    GROUP_CONCAT/SAMPLE each with DISTINCT (HTEE:487-495 delegates to the
+    RDF4J pull GroupIterator; all are Spark built-ins).  For deterministic
+    SAMPLE use F.min; for GROUP_CONCAT use
+    array_join(array_sort(collect_set/list(...)), sep)."""
+    if not keys:
+        return df.agg(*aggs)
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def multi_projection(df: DataFrame, templates: list[dict[str, Column]]) -> DataFrame:
+    """MultiProjection (CONSTRUCT templates): one input row -> N projected
+    rows (HTEE:293-319), with duplicate suppression."""
+    cols = list(templates[0].keys())
+    structs = [F.struct(*[t[c].alias(c) for c in cols]) for t in templates]
+    exploded = df.select(F.explode(F.array(*structs)).alias("_t"))
+    return exploded.select(*[F.col(f"_t.{c}").alias(c) for c in cols]).dropDuplicates()
+
+
+def exists_filter(df: DataFrame, sub: DataFrame, negate: bool = False) -> DataFrame:
+    """(NOT) EXISTS per row -> (anti-)semi join on shared vars
+    (HTEE value-expr Exists :992-996)."""
+    shared = _shared_vars(df, sub)
+    how = "left_anti" if negate else "left_semi"
+    return df.join(sub.select(*shared).distinct(), on=shared, how=how)

@@ -1,0 +1,79 @@
+"""Sanity for the rows-only ops (no SQL oracle) + cross-checks between
+exact and approximate variants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from halyard_spark.ops import dedup as D
+from halyard_spark.ops import multimodal as MM
+from halyard_spark.ops import simsearch as S
+
+
+def test_rows_only_queries_run(spark, sf01_dir):
+    for name in ("dedup_simhash", "simsearch_lsh", "multimodal_features"):
+        df = entrymod.queries()[name](spark, sf01_dir)
+        assert df.count() >= 0  # runs without error; schema stable
+        assert len(df.columns) >= 2
+
+
+def test_simhash_detects_near_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in D.simhash_pairs(docs, max_hamming=20, max_df=10).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_candidates_superset_check(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {(r["a"], r["b"]) for r in D.minhash_lsh_pairs(docs, n=2, k=6, bands=6, max_df=10).collect()}
+    assert (1, 2) in cand  # high-jaccard pair must collide in >=1 band
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, n=2, threshold=0.0, max_df=10).collect()}
+    assert jac[(1, 2)] > 0.5
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=5).collect()
+    approx = S.lsh_topk(emb, q, k=5).collect()
+    # every LSH hit's cosine must be <= the exact top-1 for that query,
+    # and the LSH top hit should appear in the exact top-50 reasonably often
+    exact_best = {}
+    for r in exact:
+        exact_best.setdefault(r["query_id"], r["cosine"])
+    for r in approx:
+        assert r["cosine"] <= exact_best[r["query_id"]] + 1e-9
+
+
+def test_multimodal_deterministic(spark):
+    a = MM.decode_features(MM.synth_assets(spark, 32)).orderBy("asset_id").collect()
+    b = MM.decode_features(MM.synth_assets(spark, 32).repartition(16)).orderBy("asset_id").collect()
+    assert [r["feature"] for r in a] == [r["feature"] for r in b]
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    with pytest.raises(Exception):
+        MM.decode_features(MM.synth_assets(spark, 4), fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    plan = MM.frame_sample_plan(MM.synth_assets(spark, 30), every_ms=1000)
+    rows = plan.groupBy("asset_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)

@@ -386,6 +386,28 @@ def q_window_topk_group(spark, sf_dir):
 # training-data ops: text analysis, dedup, similarity, events, streaming
 # ---------------------------------------------------------------------------
 
+def q_kg_describe(spark, sf_dir):
+    """DESCRIBE resource closure (SURVEY §2.4 DescribeOperator): subject's
+    own triples + one-hop triples of its object IRIs."""
+    triples = _tpch_triples(spark, sf_dir)
+    own = triples.where(F.col("subj") == "<urn:customer:42>")
+    hop = triples.join(
+        own.select(F.col("obj").alias("subj")).where(F.col("subj").startswith("<")).distinct(),
+        "subj",
+    ).select("subj", "pred", "obj")
+    return own.unionByName(hop).dropDuplicates()
+
+
+def q_json_props(spark, sf_dir):
+    """JSON source mapping (SURVEY §2.1 JSON->RDF parser): parse the events
+    props JSON column, aggregate per key."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select("event_id", F.from_json("props", "k int").alias("j"))
+    return parsed.select(F.col("j.k").alias("k")).where(F.col("k").isNotNull()).groupBy(
+        "k"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_text_token_stats(spark, sf_dir):
     """Token counting over documents (ops/text.py)."""
     return TX.token_stats(_t(spark, sf_dir, "documents"))
@@ -488,6 +510,8 @@ def q_multimodal_features(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_describe": q_kg_describe,
+    "json_props": q_json_props,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -533,6 +557,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _TOK = r"string_split_regex(trim(text), '\s+')"
 
 ORACLES: dict[str, str] = {
+    "kg_describe": """
+        WITH t AS ({triples}),
+        own AS (SELECT * FROM t WHERE subj = '<urn:customer:42>'),
+        hop AS (SELECT t.* FROM t JOIN (SELECT DISTINCT obj FROM own WHERE obj LIKE '<%') o
+                ON t.subj = o.obj)
+        SELECT DISTINCT subj, pred, obj FROM (SELECT * FROM own UNION ALL SELECT * FROM hop)
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "json_props": """
+        SELECT CAST(json_extract(props, '$.k') AS INT) AS k, COUNT(*) AS n
+        FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    """,
     "text_token_stats": f"""
         SELECT doc_id, len({_TOK}) AS n_tokens, LENGTH(text) AS n_chars,
                len(list_distinct({_TOK})) AS n_distinct_tokens

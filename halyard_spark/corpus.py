@@ -39,8 +39,14 @@ def _h(col: Column, salt: int) -> Column:
     return F.abs(F.xxhash64(col, F.lit(salt)))
 
 
-def generate_src(spark: SparkSession, n_files: int, parallelism: int | None = None) -> DataFrame:
-    """Build the src(repo, path, commit, lang, content) table."""
+def generate_src(
+    spark: SparkSession, n_files: int, parallelism: int | None = None, content_scale: int = 1
+) -> DataFrame:
+    """Build the src(repo, path, commit, lang, content) table.
+
+    content_scale multiplies the per-file import/def counts — scale 1 is
+    the tiny unit-test corpus; bench uses a larger scale so per-file work
+    resembles real source files (hundreds of lines)."""
     parallelism = parallelism or spark.sparkContext.defaultParallelism
     df = spark.range(0, n_files, 1, parallelism).withColumnRenamed("id", "i")
     i = F.col("i")
@@ -54,9 +60,9 @@ def generate_src(spark: SparkSession, n_files: int, parallelism: int | None = No
     path = F.concat(F.format_string("src/pkg%d/mod%d.", i % N_PKGS, i), ext)
     commit = F.sha1(F.concat(repo, F.lit(":"), path).cast("binary"))
 
-    n_imports = (_h(i, 1) % 4) + 1
-    n_defs = (_h(i, 2) % 3) + 1
-    n_refs = _h(i, 3) % 3
+    n_imports = ((_h(i, 1) % 4) + 1) * content_scale
+    n_defs = ((_h(i, 2) % 3) + 1) * content_scale
+    n_refs = (_h(i, 3) % 3) * content_scale
 
     # import targets: pure function of (i, j); stays inside the universe
     def imp_target(j: Column) -> Column:

@@ -64,7 +64,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     cur = cur.localCheckpoint(eager=True)
     prev_sig: tuple | None = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint + signature agg = ONE job per round (the agg
+        # action materializes the checkpoint); an eager checkpoint plus a
+        # separate agg would double the per-round scheduling latency
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig_row = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),

@@ -7,9 +7,17 @@ Arrow batches in ``mapInPandas``.  No per-row Python: every pattern runs
 through ``pandas.Series.str.extractall`` (C regex engine over the whole
 batch).
 
+Boundary-width discipline (the 100 TB concern): the Python exchange
+carries ONLY (fid, lang, content) in and (fid, kind, name, qualifier)
+out — an 8-byte key instead of echoing repo/path/commit/sha256 strings
+through the Arrow socket per mention.  File metadata (computed JVM-side:
+sha256 via codegen'd F.sha2) is re-attached after extraction by a join on
+fid, which Catalyst turns into a broadcast join whenever the file-meta
+side fits (per-partition hash join otherwise).  Cutting the socket bytes
+~5x is what lets the python stage scale with executor count.
+
 Dirty-parse tolerance (HalyardBulkLoad.java:127-189 "skipinvalid"): rows
-whose content is null/empty simply yield no matches; a count of skipped
-rows is carried in the lineage metrics, not raised.
+whose content is null/empty simply yield no matches.
 
 Output schema: mentions(repo, path, commit, lang, kind, name, qualifier,
 content_sha256) where kind in {module, import, class, function, xref}.
@@ -28,6 +36,8 @@ MENTIONS_SCHEMA = (
     "kind string, name string, qualifier string, content_sha256 string"
 )
 
+_RAW_SCHEMA = "fid long, kind string, name string, qualifier string"
+
 # (kind, pattern, name_group, qualifier_group) per language.  Patterns are
 # multiline; extractall returns one row per match, vectorized.
 _PATTERNS: dict[str, list[tuple[str, str, int, int | None]]] = {
@@ -45,21 +55,11 @@ _PATTERNS: dict[str, list[tuple[str, str, int, int | None]]] = {
     ],
 }
 
-_META_COLS = ["repo", "path", "commit", "lang", "content_sha256"]
-
 
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     frames: list[pd.DataFrame] = []
-    meta = pdf[_META_COLS]
+    fid = pdf["fid"]
     content = pdf["content"].fillna("")
-
-    # the file itself is a module mention: name from the path stem
-    mod = pdf["path"].str.extract(r"/(\w+)\.\w+$", expand=False)
-    mframe = meta.copy()
-    mframe["kind"] = "module"
-    mframe["name"] = mod
-    mframe["qualifier"] = pdf["path"].str.extract(r"src/(\w+)/", expand=False)
-    frames.append(mframe[mframe["name"].notna()])
 
     for lang, specs in _PATTERNS.items():
         sel = pdf["lang"] == lang
@@ -71,29 +71,57 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             if hits.empty:
                 continue
             hits = hits.reset_index(level=1, drop=True)
-            out = meta.loc[hits.index].copy()
-            out["kind"] = kind
-            out["name"] = hits[name_g - 1].values
-            out["qualifier"] = hits[qual_g - 1].values if qual_g else ""
+            out = pd.DataFrame(
+                {
+                    "fid": fid.loc[hits.index].values,
+                    "kind": kind,
+                    "name": hits[name_g - 1].values,
+                    "qualifier": hits[qual_g - 1].values if qual_g else "",
+                }
+            )
             frames.append(out)
 
-    cols = _META_COLS[:4] + ["kind", "name", "qualifier", "content_sha256"]
+    cols = ["fid", "kind", "name", "qualifier"]
     if not frames:
         return pd.DataFrame(columns=cols)
-    res = pd.concat(frames, ignore_index=True)
-    return res[cols]
+    return pd.concat(frames, ignore_index=True)[cols]
+
+
+def file_meta(src: DataFrame) -> DataFrame:
+    """Per-file metadata incl. the sha256 invariant — all JVM-side
+    (codegen'd), one row per file."""
+    return src.select(
+        F.xxhash64("repo", "path").alias("fid"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content").cast("binary"), 256).alias("content_sha256"),
+    )
 
 
 def extract_mentions(src: DataFrame) -> DataFrame:
-    """src(repo,path,commit,lang,content) -> mentions.
-
-    content_sha256 is computed JVM-side with ``F.sha2`` (codegen'd) before
-    the Arrow exchange — the per-row invariant column never touches Python.
-    """
-    with_sha = src.withColumn("content_sha256", F.sha2(F.col("content").cast("binary"), 256))
+    """src(repo,path,commit,lang,content) -> mentions."""
+    compact = src.select(
+        F.xxhash64("repo", "path").alias("fid"), "lang", "path", "content"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _extract_batch(pdf)
 
-    return with_sha.mapInPandas(gen, schema=MENTIONS_SCHEMA)
+    raw = compact.select("fid", "lang", "content").mapInPandas(gen, schema=_RAW_SCHEMA)
+
+    # the file-is-a-module mention needs only the path — pure JVM
+    module_rows = compact.select(
+        "fid",
+        F.lit("module").alias("kind"),
+        F.regexp_extract("path", r"/(\w+)\.\w+$", 1).alias("name"),
+        F.regexp_extract("path", r"src/(\w+)/", 1).alias("qualifier"),
+    ).where(F.col("name") != "")
+
+    meta = file_meta(src)
+    all_raw = raw.unionByName(module_rows)
+    return all_raw.join(meta, "fid").select(
+        "repo", "path", "commit", "lang", "kind", "name", "qualifier", "content_sha256"
+    )

@@ -71,5 +71,34 @@ def record_stage(
     wall_ms: int,
     extra: dict | None = None,
 ) -> None:
-    row = [(stage, input_fp, rows_out, wall_ms, int(time.time()), json.dumps(extra or {}))]
-    spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(_lineage_path(out_dir))
+    """Append one lineage row.  Written directly with pyarrow (driver-side
+    metadata, a handful of bytes) — not worth a Spark job per stage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _lineage_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    ts = int(time.time())
+    table = pa.table(
+        {
+            "stage": [stage],
+            "input_fingerprint": [input_fp],
+            "rows_out": [rows_out],
+            "wall_ms": [wall_ms],
+            "run_ts": [ts],
+            "extra": [json.dumps(extra or {})],
+        },
+        schema=pa.schema(
+            [
+                ("stage", pa.string()),
+                ("input_fingerprint", pa.string()),
+                ("rows_out", pa.int64()),
+                ("wall_ms", pa.int64()),
+                ("run_ts", pa.int64()),
+                ("extra", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(table, os.path.join(path, f"{stage}-{ts}-{os.getpid()}.parquet"))
+    # mark the dir complete for spark.read compatibility
+    open(os.path.join(path, "_SUCCESS"), "a").close()

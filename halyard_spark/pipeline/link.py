@@ -59,8 +59,14 @@ def link_mentions(
     refs = refs.withColumn("target_kind", ref_kind)
 
     if strategy == "auto":
-        # cheap cardinality probe on the dictionary only (small side)
-        strategy = "broadcast" if dictionary.count() <= BROADCAST_MAX_ROWS else "salted"
+        # cheap cardinality probe on the dictionary only (small side).
+        # Large dictionaries default to a plain shuffle hash join: AQE's
+        # skew-join splitting handles moderately hot surface keys at zero
+        # cost, whereas salting replicates the whole dictionary x buckets.
+        # Explicit strategy="salted" remains the tool for pathological
+        # single-key skew (the mega-repo case) where even AQE's split of
+        # one reducer partition isn't enough.
+        strategy = "broadcast" if dictionary.count() <= BROADCAST_MAX_ROWS else "shuffle"
 
     # rename dictionary columns: it may derive from the same mentions DF
     # (self-join) and 'kind'/'qualifier' would be ambiguous otherwise
@@ -74,6 +80,12 @@ def link_mentions(
     if strategy == "broadcast":
         joined = refs.join(
             F.broadcast(d),
+            (F.col("name") == F.col("d_surface")) & (F.col("target_kind") == F.col("d_kind")),
+            "left",
+        )
+    elif strategy == "shuffle":
+        joined = refs.join(
+            d,
             (F.col("name") == F.col("d_surface")) & (F.col("target_kind") == F.col("d_kind")),
             "left",
         )

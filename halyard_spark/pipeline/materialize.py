@@ -5,15 +5,20 @@ row-key permutations — SPO/POS/OSP + CSPO/CPOS/COSP
 (common/.../HalyardTableUtils.java:279-287) — so any statement pattern has
 an index whose prefix covers its bound terms.  The Spark-native analog:
 
-- ONE canonical parquet table `triples` (full values in columns — no
-  hash-collision defense needed, unlike HBaseSail.java:756-761), plus
 - SPO/POS/OSP **sorted mirrors**: ``repartitionByRange(sort_keys)`` +
   ``sortWithinPartitions(sort_keys)`` parquet writes.  Range partitioning
   samples boundaries exactly like HalyardPreSplit samples region splits
   (tools/.../HalyardPreSplit.java:73-132); the per-file parquet min/max
   column statistics then prune scans the way HBase start/stop rows do.
-- the context column subsumes the C* permutations (ctx is a leading
-  *partition column* on the canonical table = partition pruning per graph).
+  The mirrors ARE the store, as in the reference — no separate canonical
+  copy (3x write amplification, matching HalyardTableUtils.java:267).
+- the context column subsumes the C* permutations: ctx leads the SPO sort
+  order, so per-graph scans prune by row-group min/max.  A ctx *partition
+  column* (hive-style partitionBy) is deliberately avoided: named-graph
+  cardinality grows with repo count (one graph per repo), and
+  high-cardinality partitionBy writes millions of tiny files at scale.
+- full values live in the columns — no hash-collision re-check needed,
+  unlike HBaseSail.java:756-761.
 
 On Iceberg-enabled clusters these become Iceberg tables with
 ``write.sort-order``; parquet keeps identical semantics in this sandbox
@@ -30,31 +35,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 INDEXES = {
-    "spo": ["subj", "pred", "obj"],
+    "spo": ["ctx", "subj", "pred", "obj"],  # ctx leads: per-graph pruning
     "pos": ["pred", "obj", "subj"],
     "osp": ["obj", "subj", "pred"],
 }
 
 
 def write_store(triples: DataFrame, out_dir: str, mirror_partitions: int | None = None) -> dict:
-    """Write canonical table + 3 sorted mirrors; returns a snapshot manifest."""
+    """Write the 3 sorted index mirrors; returns a snapshot manifest.
+
+    The input is cached once (each mirror's range-sampling pass + full
+    shuffle otherwise re-reads the source 2x3 times), and the three writes
+    run as CONCURRENT jobs from driver threads — Spark schedules their
+    tasks together, overlapping the per-job sampling/commit latency the
+    way the reference overlaps its three index families inside one MR
+    shuffle (HalyardBulkLoad emits all 3 KV permutations in one job).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = triples.sparkSession
     n = mirror_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.time()
 
-    canonical = triples.withColumn("g", F.coalesce(F.col("ctx"), F.lit("<default>")))
-    canonical.write.mode("overwrite").partitionBy("g").parquet(f"{out_dir}/triples")
+    cached = triples.persist()
+    try:
+        def write_one(item):
+            name, keys = item
+            (
+                cached.repartitionByRange(n, *[F.col(k) for k in keys])
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/{name}")
+            )
 
-    stored = spark.read.parquet(f"{out_dir}/triples")
-    for name, keys in INDEXES.items():
-        (
-            stored.repartitionByRange(n, *[F.col(k) for k in keys])
-            .sortWithinPartitions(*keys)
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/{name}")
-        )
-
-    count = stored.count()
+        with ThreadPoolExecutor(max_workers=len(INDEXES)) as pool:
+            list(pool.map(write_one, INDEXES.items()))
+        count = cached.count()
+    finally:
+        cached.unpersist()
     manifest = {
         "snapshot_ts": int(t0),
         "triple_count": count,
@@ -67,10 +85,7 @@ def write_store(triples: DataFrame, out_dir: str, mirror_partitions: int | None 
 
 
 def read_index(spark: SparkSession, store_dir: str, index: str = "spo") -> DataFrame:
-    df = spark.read.parquet(f"{store_dir}/{index}")
-    if "g" in df.columns and "ctx" not in df.columns:
-        df = df.withColumn("ctx", F.when(F.col("g") == "<default>", F.lit(None)).otherwise(F.col("g")))
-    return df
+    return spark.read.parquet(f"{store_dir}/{index}")
 
 
 def pick_index(s_bound: bool, p_bound: bool, o_bound: bool) -> str:

@@ -85,7 +85,12 @@ def emit_triples(
     ]
 
     # definition triples: file --definesClass/definesFunction--> entity IRI
-    defs = mentions.filter(F.col("kind").isin("class", "function"))
+    # dedup on the narrow natural key BEFORE IRI construction: repeated
+    # defs of the same name in one file collapse here, so no global
+    # dropDuplicates over the full wide quad set is ever needed
+    defs = mentions.filter(F.col("kind").isin("class", "function")).dropDuplicates(
+        ["repo", "path", "kind", "name"]
+    )
     ent = nt.nt_iri(F.format_string("urn:entity:%s:%s", F.col("kind"), F.col("name")))
     parts.append(
         defs.select(
@@ -99,7 +104,9 @@ def emit_triples(
     )
 
     # linked reference triples: file --imports/references--> canonical entity
-    resolved = linked.filter(F.col("canonical_id").isNotNull())
+    resolved = linked.filter(F.col("canonical_id").isNotNull()).dropDuplicates(
+        ["repo", "path", "kind", "canonical_id"]
+    )
     parts.append(
         resolved.select(
             file_iri(r, p).alias("subj"),
@@ -131,6 +138,10 @@ def emit_triples(
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
-    # bag -> set semantics: Halyard's KV store dedupes identical statements
-    # (same rowkey+qualifier overwrite); dropDuplicates is the Spark analog.
-    return out.dropDuplicates(TRIPLE_COLS)
+    # Set semantics (Halyard's KV overwrite dedup) hold WITHOUT a global
+    # dropDuplicates: each part is unique by construction — file_facts
+    # project one row per src file, defs/links are key-deduped above,
+    # canonical is one row per entity — and parts never share a predicate,
+    # so the union is disjoint.  Skipping the global dedup removes the
+    # single widest shuffle in the pipeline (every quad, full strings).
+    return out

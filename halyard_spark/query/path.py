@@ -25,20 +25,21 @@ def transitive_closure(
     """
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     closure = edges
-    frontier = edges
     for _ in range(max_iter):
-        # one hop: frontier(src, mid) x edges(mid, dst)
+        # path DOUBLING: join the closure with itself, so reachable path
+        # length doubles per round — log2(diameter) rounds instead of the
+        # reference's row-at-a-time PathIteration (or a 1-hop BFS that
+        # needs diameter rounds: a 50-node chain = 49 sequential shuffles)
         stepped = (
-            frontier.withColumnRenamed("dst", "mid")
-            .join(edges.withColumnRenamed("src", "mid"), "mid")
+            closure.withColumnRenamed("dst", "mid")
+            .join(closure.withColumnRenamed("src", "mid"), "mid")
             .select("src", "dst")
             .distinct()
         )
-        new = stepped.join(closure, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
-        if new.isEmpty():
+        new = stepped.join(closure, ["src", "dst"], "left_anti").localCheckpoint(eager=False)
+        if new.count() == 0:  # the count action materializes the checkpoint
             break
         closure = closure.union(new).localCheckpoint(eager=True)
-        frontier = new
     if min_length == 0:
         nodes = edges.select(F.col("src").alias("n")).union(edges.select(F.col("dst").alias("n"))).distinct()
         identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))

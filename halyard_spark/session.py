@@ -18,6 +18,15 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return tempfile.gettempdir()
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship halyard_spark to executors (the `spark-submit --py-files` analog).
 
@@ -57,9 +66,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # shuffle/spill on tmpfs when available: local-mode shuffles are
+        # disk round-trips on the driver host; a cluster has fast local
+        # SSDs per executor.  Keeps CPU scaling measurements honest.
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

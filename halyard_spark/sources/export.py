@@ -1,0 +1,61 @@
+"""Export sinks — the HalyardExport analog (SURVEY.md §2.1 sinks).
+
+Reference (tools/.../HalyardExport.java): SELECT -> CSV with custom
+escaping (:162-256), CONSTRUCT -> RDF writers +gz/bz2 (:258-299),
+SELECT -> batched JDBC INSERT (:301-423), null dry-run sink (:425-458).
+Every one maps to a built-in DataFrame writer; the only custom piece is
+N-Triples line formatting (JVM-side concat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """CSV with full quoting/escaping (the reference hand-rolls \\uXXXX
+    escaping; Spark's writer emits RFC-4180 quoted fields)."""
+    w = df.write.mode("overwrite").option("header", "true").option("escape", '"')
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def export_ntriples(triples: DataFrame, path: str, compression: str | None = None) -> None:
+    """(subj, pred, obj[, ctx]) -> N-Triples / N-Quads text lines.
+
+    Terms are already stored in N-Triples lexical form (halyard_spark.nt),
+    so a line is a codegen'd concat — no UDF.
+    """
+    has_ctx = "ctx" in triples.columns
+    line = F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"))
+    if has_ctx:
+        line = F.when(
+            F.col("ctx").isNotNull(), F.concat_ws(" ", line, F.col("ctx"))
+        ).otherwise(line)
+    out = triples.select(F.concat(line, F.lit(" .")).alias("value"))
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def export_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None, batchsize: int = 1000) -> None:
+    """Batched JDBC insert (HalyardExport.java:301-423; 1000-row batches).
+    Requires the JDBC driver jar on the classpath — passthrough to Spark's
+    writer, which does type introspection like the reference."""
+    (
+        df.write.mode("append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**(properties or {}))
+        .save()
+    )
+
+
+def export_null(df: DataFrame) -> int:
+    """Dry-run sink: drain and count (HalyardExport NullWriter analog)."""
+    return df.count()

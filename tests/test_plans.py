@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: the optimizations SURVEY.md §4 maps from
+Halyard's hand-built machinery must actually appear in Catalyst plans —
+filter pushdown (HBase start/stop-row analog), column pruning, broadcast
+join selection, and top-K fusion (Sorter.java eviction analog).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from halyard_spark import corpus
+from halyard_spark.pipeline import materialize, run
+from halyard_spark.query import algebra as A
+from halyard_spark.query.pattern import statement_pattern
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans"))
+    src = corpus.generate_src(spark, 200)
+    run.run_pipeline(spark, src, out)
+    return out
+
+
+def test_pattern_scan_pushes_filter(spark, store):
+    pos = materialize.read_index(spark, f"{store}/store", "pos")
+    df = statement_pattern(pos, p="<urn:p:imports>", vars={"subj": "f", "obj": "m"})
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "pred" in plan.split("PushedFilters:")[1][:200], plan
+
+
+def test_pattern_scan_prunes_columns(spark, store):
+    spo = materialize.read_index(spark, f"{store}/store", "spo")
+    df = spo.select("subj", "pred")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "obj" not in read_schema, read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf01_dir):
+    c = spark.read.parquet(f"{sf01_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf01_dir}/nation.parquet")
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_order_limit_fuses_topk(spark, sf01_dir):
+    o = spark.read.parquet(f"{sf01_dir}/orders.parquet")
+    df = A.order_limit(o.select("o_orderkey", "o_totalprice"), F.col("o_totalprice").desc(), limit=10)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_spo_mirror_sorted_for_rowgroup_pruning(spark, store):
+    """A ctx-bound scan on the SPO mirror must read fewer rows than a full
+    scan would — evidence that the range-partitioned sorted write enables
+    min/max pruning (the HBase region-prefix analog)."""
+    spo = materialize.read_index(spark, f"{store}/store", "spo")
+    one_graph = spo.select("ctx").where(F.col("ctx").isNotNull()).first()["ctx"]
+    filtered = spo.where(F.col("ctx") == one_graph)
+    plan = _plan(filtered)
+    assert "PushedFilters" in plan and "ctx" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_extract_boundary_is_narrow(spark):
+    """The Arrow exchange of the extract stage must not echo file metadata:
+    the python-side schema carries only fid/kind/name/qualifier."""
+    from halyard_spark.pipeline import extract
+
+    src = corpus.generate_src(spark, 50)
+    df = extract.extract_mentions(src)
+    plan = _plan(df)
+    seg = plan.split("MapInPandas")[1].splitlines()[0] if "MapInPandas" in plan else ""
+    assert "fid" in seg and "commit" not in seg, seg

@@ -1,0 +1,99 @@
+"""Bulk update/delete, export sinks, JSON->RDF mapping."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+
+from pyspark.sql import functions as F
+
+from halyard_spark.pipeline.update import bulk_delete, bulk_update
+from halyard_spark.sources import export, rio
+
+TRIPLES = [
+    ("<urn:a>", "<urn:p:t>", '"1"', "<urn:g:x>"),
+    ("<urn:a>", "<urn:p:u>", '"2"', None),
+    ("<urn:b>", "<urn:p:t>", '"3"', "<urn:g:x>"),
+    ("<urn:c>", "<urn:p:t>", '"4"', "<urn:g:y>"),
+]
+SCHEMA = "subj string, pred string, obj string, ctx string"
+
+
+def test_bulk_delete_pattern(spark):
+    t = spark.createDataFrame(TRIPLES, SCHEMA)
+    left = bulk_delete(t, p="<urn:p:t>", c="<urn:g:x>")
+    rows = {(r.subj, r.pred) for r in left.collect()}
+    assert rows == {("<urn:a>", "<urn:p:u>"), ("<urn:c>", "<urn:p:t>")}
+
+
+def test_bulk_update_stage_isolation(spark):
+    """Stage 2 must see stage 1's effects; within a stage, inserts must not
+    be visible to that stage's own deletes (pre-stage snapshot)."""
+    t = spark.createDataFrame(TRIPLES, SCHEMA)
+
+    def stage1(snap):
+        # delete everything in graph x, insert one marker (also in graph x)
+        deletes = snap.where(F.col("ctx") == "<urn:g:x>")
+        inserts = spark.createDataFrame(
+            [("<urn:m>", "<urn:p:mark>", '"s1"', "<urn:g:x>")], SCHEMA
+        )
+        return deletes, inserts
+
+    def stage2(snap):
+        # sees the marker from stage 1 -> rewrites it
+        found = snap.where(F.col("pred") == "<urn:p:mark>")
+        inserts = found.select(
+            F.col("subj"), F.col("pred"), F.lit('"s2"').alias("obj"), F.col("ctx")
+        )
+        return found, inserts
+
+    out = bulk_update(t, [stage1, stage2])
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("<urn:m>", "<urn:p:mark>", '"s2"') in rows
+    assert ("<urn:m>", "<urn:p:mark>", '"s1"') not in rows
+    assert ("<urn:a>", "<urn:p:t>", '"1"') not in rows  # deleted in stage 1
+    assert ("<urn:a>", "<urn:p:u>", '"2"') in rows  # default graph untouched
+
+
+def test_bulk_update_null_ctx_delete(spark):
+    t = spark.createDataFrame(TRIPLES, SCHEMA)
+    deletes = spark.createDataFrame([("<urn:a>", "<urn:p:u>", '"2"', None)], SCHEMA)
+    out = bulk_update(t, [lambda snap: (deletes, None)])
+    assert out.count() == 3  # the NULL-ctx row matched null-safely
+
+
+def test_export_ntriples_roundtrip(spark, tmp_path):
+    t = spark.createDataFrame(TRIPLES, SCHEMA)
+    path = str(tmp_path / "nt")
+    export.export_ntriples(t, path, compression="gzip")
+    lines = []
+    for f in glob.glob(f"{path}/*.txt.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines += [ln.strip() for ln in fh if ln.strip()]
+    assert len(lines) == 4
+    assert '<urn:a> <urn:p:t> "1" <urn:g:x> .' in lines
+    assert '<urn:a> <urn:p:u> "2" .' in lines  # default graph: triple form
+
+
+def test_export_csv_and_null(spark, tmp_path):
+    t = spark.createDataFrame([(1, 'has,"comma"'), (2, "line\nbreak")], "id int, s string")
+    path = str(tmp_path / "csv")
+    export.export_csv(t, path)
+    back = spark.read.option("header", True).option("escape", '"').option("multiLine", True).csv(path)
+    assert {r.s for r in back.collect()} == {'has,"comma"', "line\nbreak"}
+    assert export.export_null(t) == 2
+
+
+def test_json_to_triples(spark):
+    df = spark.createDataFrame(
+        [("n1", '{"name": "x", "meta": {"size": 3}, "tags": ["a", "b"]}')],
+        "node string, raw string",
+    )
+    schema = "name string, meta struct<size: long>, tags array<string>"
+    parsed = df.select("node", F.from_json("raw", schema).alias("j"))
+    triples = rio.json_to_triples(parsed, "node", "j")
+    rows = {(r.subj, r.pred, r.obj) for r in triples.collect()}
+    assert ("<n1>", "<urn:json:name>", '"x"') in rows
+    assert ("<n1>", "<urn:json:meta.size>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>') in rows
+    assert ("<n1>", "<urn:json:tags:0>", '"a"') in rows
+    assert ("<n1>", "<urn:json:tags:1>", '"b"') in rows

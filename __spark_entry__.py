@@ -386,6 +386,74 @@ def q_window_topk_group(spark, sf_dir):
 # training-data ops: text analysis, dedup, similarity, events, streaming
 # ---------------------------------------------------------------------------
 
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way selective join + group + top-K by revenue."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (broadcast dims + shuffle facts) + agg."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_path_zero_or_one(spark, sf_dir):
+    """ZeroLengthPath / p? — identity union one hop (SURVEY §2.5)."""
+    edges = _chain_edges(spark, sf_dir)
+    return PATH.zero_or_one_path(edges).select(
+        F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP subtotal lattice (OLAP surface beyond the reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """PIVOT via conditional aggregation (engine-portable form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", _dec("l_quantity"))).cast("double").alias("qty_O"),
+        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity"))).cast("double").alias("qty_F"),
+    )
+
+
 def q_kg_describe(spark, sf_dir):
     """DESCRIBE resource closure (SURVEY §2.4 DescribeOperator): subject's
     own triples + one-hop triples of its object IRIs."""
@@ -510,6 +578,11 @@ def q_multimodal_features(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier": q_q5_local_supplier,
+    "path_zero_or_one": q_path_zero_or_one,
+    "rollup_agg": q_rollup_agg,
+    "pivot_status": q_pivot_status,
     "kg_describe": q_kg_describe,
     "json_props": q_json_props,
     "text_token_stats": q_text_token_stats,
@@ -557,6 +630,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _TOK = r"string_split_regex(trim(text), '\s+')"
 
 ORACLES: dict[str, str] = {
+    "q3_shipping_priority": """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "path_zero_or_one": """
+        WITH e AS (SELECT a.p_partkey AS src, b.p_partkey AS dst
+                   FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+                   WHERE a.p_partkey % 50 <> 49),
+        nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+        SELECT n AS src, n AS dst FROM nodes
+        UNION
+        SELECT src, dst FROM e
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot_status": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "kg_describe": """
         WITH t AS ({triples}),
         own AS (SELECT * FROM t WHERE subj = '<urn:customer:42>'),
@@ -606,9 +721,8 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "dedup_exact": """
-        WITH h AS (SELECT doc_id, MD5(text) AS h FROM documents)
-        SELECT a.doc_id, c.canonical_id
-        FROM h a JOIN (SELECT h, MIN(doc_id) AS canonical_id FROM h GROUP BY h) c USING (h)
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+        FROM documents
     """,
     "dedup_jaccard": f"""
         WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -148,17 +148,16 @@ def write_baseline_md(result: dict) -> None:
 
 
 def main() -> None:
-    queries = run_headline_queries()
-    total = round(sum(queries.values()), 3)
-
     result: dict = {
         "metric": "kg_construct_triples_per_sec+headline_queries",
-        "value": total,
         "unit": "sec",
-        "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
     }
 
+    # Pipeline subprocesses FIRST, headline queries LAST: each subprocess
+    # JVM exits before the next starts, and the in-process query JVM only
+    # comes up after all pipeline runs — overlapping multi-JVM heaps on
+    # this host trigger kernel-reclaim storms that wreck measurements.
     with tempfile.TemporaryDirectory(prefix="bench_pipe_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None) as tmp:
         # measure the pipeline at full parallelism AND at local[8]: on this
         # 32-core host, python-UDF stages run a JVM feeder thread + python
@@ -177,10 +176,29 @@ def main() -> None:
         }
 
         if RUN_SCALING:
-            hi = run_pipeline_subprocess(SCALING_N * 4, f"{tmp}/hi", BENCH_FILES, BENCH_SCALE)
-            lo = run_pipeline_subprocess(SCALING_N, f"{tmp}/lo", BENCH_FILES, BENCH_SCALE)
+            # best-of-REPEATS per level, interleaved: the host shows
+            # 10-20% steal, so single samples carry +-15% noise
+            repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+            hi_runs, lo_runs = [], []
+            for i in range(repeats):
+                hi_runs.append(run_pipeline_subprocess(SCALING_N * 4, f"{tmp}/hi{i}", BENCH_FILES, BENCH_SCALE))
+                lo_runs.append(run_pipeline_subprocess(SCALING_N, f"{tmp}/lo{i}", BENCH_FILES, BENCH_SCALE))
+            hi = max(hi_runs, key=lambda p: p["triples_per_sec"])
+            lo = max(lo_runs, key=lambda p: p["triples_per_sec"])
             eff = round((hi["triples_per_sec"] / lo["triples_per_sec"]) / 4, 3)
-            result["scaling"] = {"low": lo, "high": hi, "efficiency": eff}
+            result["scaling"] = {
+                "low": lo,
+                "high": hi,
+                "efficiency": eff,
+                "samples": {
+                    "low": [p["triples_per_sec"] for p in lo_runs],
+                    "high": [p["triples_per_sec"] for p in hi_runs],
+                },
+            }
+
+    queries = run_headline_queries()
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
 
     write_baseline_md(result)
     print(json.dumps(result))

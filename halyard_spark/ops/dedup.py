@@ -20,12 +20,22 @@ from pyspark.sql import functions as F
 from halyard_spark.ops.text import tokens
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, canonical_id): canonical = min id among byte-identical texts."""
-    h = F.md5(F.col(text_col).cast("binary"))
-    hashed = docs.select(F.col(id_col), h.alias("h"))
-    canon = hashed.groupBy("h").agg(F.min(id_col).alias("canonical_id"))
-    return hashed.join(canon, "h").select(F.col(id_col), "canonical_id")
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", by_digest: bool = False
+) -> DataFrame:
+    """(id, canonical_id): canonical = min id among byte-identical texts.
+
+    Default groups on the VALUE itself — Spark hash-partitions internally
+    but compares by value, so hash collisions can never merge distinct
+    texts (the reference's collision defense, HBaseSail.java:756-761 /
+    HalyardTableUtilsTest.java:81-107).  ``by_digest=True`` shuffles a
+    sha256 digest instead — for very wide documents where moving full
+    text through the shuffle dominates; collision odds 2^-128.
+    """
+    key = F.sha2(F.col(text_col).cast("binary"), 256) if by_digest else F.col(text_col)
+    hashed = docs.select(F.col(id_col), key.alias("k"))
+    canon = hashed.groupBy("k").agg(F.min(id_col).alias("canonical_id"))
+    return hashed.join(canon, "k").select(F.col(id_col), "canonical_id")
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:

@@ -70,18 +70,33 @@ def run_pipeline(
 
     dictionary = run_stage("dictionary", f"{out_dir}/dictionary", lambda: link.build_dictionary(mentions))
 
-    linked = run_stage(
-        "link",
-        f"{out_dir}/linked",
-        lambda: link.link_mentions(mentions, dictionary, strategy=link_strategy),
-    )
+    # link and canonicalize both depend only on (mentions, dictionary) and
+    # not on each other -> run them as CONCURRENT driver-thread branches.
+    # The scheduler interleaves their jobs, hiding each branch's
+    # latency-bound phases (CC convergence rounds) behind the other's
+    # compute; lineage/resume stays per-stage.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_link() -> DataFrame:
+        return run_stage(
+            "link",
+            f"{out_dir}/linked",
+            lambda: link.link_mentions(mentions, dictionary, strategy=link_strategy),
+        )
 
     def build_canon() -> DataFrame:
-        edges = _entity_edges(mentions)
-        all_entities = dictionary.select(F.col("canonical_id").alias("entity"))
-        return cc.canonical_map(edges, all_entities)
+        def canon() -> DataFrame:
+            edges = _entity_edges(mentions)
+            all_entities = dictionary.select(F.col("canonical_id").alias("entity"))
+            return cc.canonical_map(edges, all_entities)
 
-    canonical = run_stage("canonicalize", f"{out_dir}/canonical", build_canon)
+        return run_stage("canonicalize", f"{out_dir}/canonical", canon)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_link = pool.submit(build_link)
+        f_canon = pool.submit(build_canon)
+        linked = f_link.result()
+        canonical = f_canon.result()
 
     src_meta = src.select(
         "repo", "path", "commit", "lang", F.sha2(F.col("content").cast("binary"), 256).alias("content_sha256")

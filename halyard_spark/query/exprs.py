@@ -19,14 +19,14 @@ from halyard_spark import nt
 
 def try_numeric(col: str | Column) -> Column:
     """Lexical term -> double, NULL on non-numeric (error->unbound)."""
-    return F.try_cast(nt.nt_str(col), "double")
+    return nt.nt_str(col).try_cast("double")
 
 
 def ebv(col: str | Column) -> Column:
     """Effective boolean value (HalyardValueExprEvaluation.java:104-111):
     booleans as-is; numbers: != 0; strings: non-empty; error -> NULL."""
     c = nt.nt_str(col)
-    num = F.try_cast(c, "double")
+    num = c.try_cast("double")
     return (
         F.when(F.lower(c).isin("true", "false"), F.lower(c) == "true")
         .when(num.isNotNull(), num != 0.0)
@@ -64,4 +64,6 @@ def order_key(col: str | Column) -> list[Column]:
     rank = (
         F.when(nt.nt_is_bnode(c), 0).when(nt.nt_is_iri(c), 1).otherwise(2)
     )
-    return [rank, try_numeric(c), nt.nt_str(c)]
+    # numeric literals order by value BEFORE plain strings (nulls_last:
+    # a non-numeric literal has NULL numeric key and must not sort first)
+    return [rank, F.asc_nulls_last(try_numeric(c)), nt.nt_str(c)]

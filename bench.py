@@ -77,12 +77,22 @@ def run_headline_queries() -> dict[str, float]:
     return timings
 
 
-def run_pipeline_subprocess(cpus: int, out_dir: str, n_files: int, scale: int) -> dict:
+def run_pipeline_subprocess(
+    cpus: int, out_dir: str, n_files: int, scale: int, pin: bool = False
+) -> dict:
     cmd = [
         sys.executable, "-m", "halyard_spark.bench_pipeline",
         "--cpus", str(cpus), "--n-files", str(n_files),
         "--content-scale", str(scale), "--out", out_dir,
     ]
+    import shutil as _shutil
+
+    if pin and _shutil.which("taskset"):
+        # pin the whole process tree to exactly `cpus` cores: a faithful
+        # N-core-cluster proxy — otherwise a local[N] JVM on a 32-core
+        # host borrows extra cores for GC/python workers and inflates
+        # the small-N throughput, understating scaling efficiency
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
@@ -122,11 +132,14 @@ def write_baseline_md(result: dict) -> None:
             f"- throughput@4N(={hi['cpus']} cores)  : {hi['triples_per_sec']} triples/sec",
             f"- **scaling efficiency (T4N/TN)/4 = {scal['efficiency']}** (target >= 0.8)",
             "",
-            "N=2 vs 4N=8 is used (rather than 8 vs 32) because local[32] on the",
-            "32-core host oversubscribes 2x: every python-UDF task runs a JVM",
-            "feeder thread AND a python worker process concurrently, so 32 task",
-            "slots demand 64 cores.  On a real cluster, executor sizing accounts",
-            "for python workers; the non-saturated pair is the faithful proxy.",
+            "Methodology: both levels run CPU-PINNED (`taskset -c 0-(N-1)`)",
+            "with local[N], so level N has exactly N cores — the faithful",
+            "stand-in for an N-core vs 4N-core cluster (unpinned, a small-N",
+            "JVM borrows idle host cores for GC/python workers and inflates",
+            "the baseline).  N=2 vs 4N=8 rather than 8 vs 32 because local[32]",
+            "runs 32 JVM feeder threads + 32 python workers = 64 threads on 32",
+            "cores; that oversubscription intermittently collapses into",
+            "kernel-time storms (see pipeline_configs for the local[32] point).",
             "",
             "Measurement caveat: this sandbox VM shows 10-20% CPU steal and",
             "run-to-run stage-time swings of 2-3x (kernel-time storms under",
@@ -164,25 +177,35 @@ def main() -> None:
         # worker per task slot, so local[32] can oversubscribe 2x under
         # memory pressure; report both, headline = best single-node config
         pipe_full = run_pipeline_subprocess(CPUS, f"{tmp}/full", BENCH_FILES // 2, 10)
-        pipe_8 = (
-            run_pipeline_subprocess(8, f"{tmp}/p8", BENCH_FILES // 2, 10)
-            if CPUS != 8
+        # local[16] = 16 JVM task threads + 16 python workers = exactly 32
+        # cores: the measured sweet spot on this host (local[32] runs 64
+        # threads and intermittently degrades into kernel storms)
+        pipe_16 = (
+            run_pipeline_subprocess(16, f"{tmp}/p16", BENCH_FILES // 2, 10)
+            if CPUS != 16
             else pipe_full
         )
-        result["pipeline"] = max(pipe_full, pipe_8, key=lambda p: p["triples_per_sec"])
+        result["pipeline"] = max(pipe_full, pipe_16, key=lambda p: p["triples_per_sec"])
         result["pipeline_configs"] = {
             f"local[{pipe_full['cpus']}]": pipe_full["triples_per_sec"],
-            f"local[{pipe_8['cpus']}]": pipe_8["triples_per_sec"],
+            f"local[{pipe_16['cpus']}]": pipe_16["triples_per_sec"],
         }
 
         if RUN_SCALING:
-            # best-of-REPEATS per level, interleaved: the host shows
-            # 10-20% steal, so single samples carry +-15% noise
-            repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+            # CPU-pinned (taskset) runs: each level gets EXACTLY its core
+            # count, like a real N-core vs 4N-core cluster.  Corpus sized
+            # so parallel work dominates the ~30s serial fraction.
+            # best-of-REPEATS per level: the host shows 10-20% steal.
+            repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+            scaling_files = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_FILES", str(BENCH_FILES * 2)))
             hi_runs, lo_runs = [], []
             for i in range(repeats):
-                hi_runs.append(run_pipeline_subprocess(SCALING_N * 4, f"{tmp}/hi{i}", BENCH_FILES, BENCH_SCALE))
-                lo_runs.append(run_pipeline_subprocess(SCALING_N, f"{tmp}/lo{i}", BENCH_FILES, BENCH_SCALE))
+                hi_runs.append(
+                    run_pipeline_subprocess(SCALING_N * 4, f"{tmp}/hi{i}", scaling_files, BENCH_SCALE, pin=True)
+                )
+                lo_runs.append(
+                    run_pipeline_subprocess(SCALING_N, f"{tmp}/lo{i}", scaling_files, BENCH_SCALE, pin=True)
+                )
             hi = max(hi_runs, key=lambda p: p["triples_per_sec"])
             lo = max(lo_runs, key=lambda p: p["triples_per_sec"])
             eff = round((hi["triples_per_sec"] / lo["triples_per_sec"]) / 4, 3)

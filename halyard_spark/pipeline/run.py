@@ -107,19 +107,27 @@ def run_pipeline(
         lambda: triples.emit_triples(src_meta, mentions, linked, canonical, spark),
     )
 
-    t0 = time.time()
-    if resume and lineage.stage_done(spark, out_dir, "materialize", src_fp, f"{out_dir}/store/spo"):
-        manifest = {"skipped": True}
-        triple_count = materialize.read_index(spark, f"{out_dir}/store", "spo").count()
-        report["materialize"] = {"rows": triple_count, "wall_ms": int((time.time() - t0) * 1000), "skipped": True}
-    else:
+    # materialize and stats both consume only quads -> concurrent branches
+    def do_materialize() -> int:
+        t0 = time.time()
+        if resume and lineage.stage_done(spark, out_dir, "materialize", src_fp, f"{out_dir}/store/spo"):
+            count = materialize.read_index(spark, f"{out_dir}/store", "spo").count()
+            report["materialize"] = {"rows": count, "wall_ms": int((time.time() - t0) * 1000), "skipped": True}
+            return count
         manifest = materialize.write_store(quads, f"{out_dir}/store")
-        triple_count = manifest["triple_count"]
+        count = manifest["triple_count"]
         wall = int((time.time() - t0) * 1000)
-        lineage.record_stage(spark, out_dir, "materialize", src_fp, triple_count, wall, manifest)
-        report["materialize"] = {"rows": triple_count, "wall_ms": wall, "skipped": False}
+        lineage.record_stage(spark, out_dir, "materialize", src_fp, count, wall, manifest)
+        report["materialize"] = {"rows": count, "wall_ms": wall, "skipped": False}
+        return count
 
-    run_stage("stats", f"{out_dir}/void_stats", lambda: stats.void_stats(quads))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_mat = pool.submit(do_materialize)
+        f_stats = pool.submit(
+            run_stage, "stats", f"{out_dir}/void_stats", lambda: stats.void_stats(quads)
+        )
+        triple_count = f_mat.result()
+        f_stats.result()
 
     total_wall = time.time() - t_start
     report["_total"] = {

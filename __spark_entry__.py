@@ -528,6 +528,14 @@ def q_simsearch_topk(spark, sf_dir):
     return S.cosine_topk(emb, queries_df, k=5)
 
 
+def q_simsearch_ivf(spark, sf_dir):
+    """IVF ANN: coarse quantizer cells + nprobe probing, exact re-rank.
+    Approximate by design -> rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=4)
+
+
 def q_simsearch_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (bucketed candidates, exact re-rank).
     Approximate by design -> rows-only check."""
@@ -595,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
     "events_sessionize": q_events_sessionize,
     "events_window_agg": q_events_window_agg,
     "stream_window_agg": q_stream_window_agg,

@@ -83,6 +83,101 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8, vec_col: str = 
     return emb.withColumn("bucket", F.concat(*bits))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignments).
+
+    Centroids are a deterministic sample of the data itself (every
+    (max_id/n_cells)-th vector) — no iterative k-means needed for a
+    coarse inverted file; at 100 TB you'd train centroids on a driver-side
+    sample once and broadcast them, exactly this shape.  Assignment is a
+    broadcast cross join + per-row argmax cosine: one pass, no shuffle of
+    the big side.
+    """
+    from pyspark.sql import Window
+
+    # hash-sampled centroid seeds: no global sort/window (which would
+    # funnel all rows through one partition at scale); the tiny window
+    # below numbers only the n_cells selected rows
+    total = emb.count()
+    step = max(total // n_cells, 1)
+    seeds = (
+        emb.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+    )
+    w_small = Window.orderBy(id_col)
+    centroids = (
+        seeds.withColumn("cell", F.row_number().over(w_small) - 1)
+        .select("cell", F.col(vec_col).alias("_cvec"))
+        .withColumn("_cnorm", _norm(F.col("_cvec")))
+    )
+    cand = emb.select(id_col, vec_col).withColumn("_norm", _norm(F.col(vec_col)))
+    scored = cand.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", _dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cnorm"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
+    assignments = (
+        scored.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") == 1)
+        .select(id_col, "cell")
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest cells per query, exact cosine
+    re-rank inside them.  The candidate join is an equi-join on `cell`
+    (shuffle only on the cell key); recall grows with nprobe."""
+    from pyspark.sql import Window
+
+    centroids, assignments = ivf_assign(emb, n_cells, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")).withColumn(
+        "_qnorm", _norm(F.col("_qvec"))
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "_qvec", "_qnorm", "cell")
+    )
+    cands = (
+        emb.select(id_col, vec_col)
+        .join(assignments, id_col)
+        .withColumn("_norm", _norm(F.col(vec_col)))
+    )
+    scored = (
+        cands.join(probes, "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col(vec_col), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm")), 6),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

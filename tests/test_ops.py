@@ -48,6 +48,21 @@ def test_minhash_candidates_superset_check(spark):
     assert jac[(1, 2)] > 0.5
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=5).collect()
+    approx = S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=8).collect()  # nprobe=cells -> exhaustive
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert a == e  # probing every cell must reproduce the exact result
+    partial = S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=2).collect()
+    p = {(r["query_id"], r["vec_id"]) for r in partial}
+    # random 64-dim embeddings spread neighbors across cells: probing 1/4
+    # of the cells should recover well above 1/4 of the true top-k
+    assert len(p & e) >= len(e) // 4
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf01_dir):
     emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10)

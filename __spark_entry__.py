@@ -454,6 +454,16 @@ def q_pivot_status(spark, sf_dir):
     )
 
 
+def q_quantile_prices(spark, sf_dir):
+    """Exact percentiles (ORDER-style value ranking at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 def q_kg_describe(spark, sf_dir):
     """DESCRIBE resource closure (SURVEY §2.4 DescribeOperator): subject's
     own triples + one-hop triples of its object IRIs."""
@@ -591,6 +601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_zero_or_one": q_path_zero_or_one,
     "rollup_agg": q_rollup_agg,
     "pivot_status": q_pivot_status,
+    "quantile_prices": q_quantile_prices,
     "kg_describe": q_kg_describe,
     "json_props": q_json_props,
     "text_token_stats": q_text_token_stats,
@@ -680,6 +691,13 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
                CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "quantile_prices": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderpriority
     """,
     "kg_describe": """
         WITH t AS ({triples}),

@@ -247,6 +247,34 @@ def q_path_closure(spark, sf_dir):
     )
 
 
+def q_path_from_source(spark, sf_dir):
+    """Bound-source property path `<s> p+ ?o` -> frontier BFS seeded from
+    the bound side (reference: per-binding PathIteration,
+    HalyardTupleExprEvaluation.java:1073-1098) — never materializes the
+    whole-graph closure."""
+    edges = _chain_edges(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    sources = part.where((F.col("p_partkey") % 50 == 0) & (F.col("p_partkey") <= 500)).select(
+        F.col("p_partkey").cast("string").alias("src")
+    )
+    return PATH.reachable_from(edges, sources, min_length=1).select(
+        F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+    )
+
+
+def q_path_from_source_min2(spark, sf_dir):
+    """Bound-source path with minimum length 2 (`p{2,}` shape): seeds are
+    advanced exactly one step before the >=1-hop BFS collection."""
+    edges = _chain_edges(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    sources = part.where((F.col("p_partkey") % 50 == 0) & (F.col("p_partkey") <= 500)).select(
+        F.col("p_partkey").cast("string").alias("src")
+    )
+    return PATH.reachable_from(edges, sources, min_length=2).select(
+        F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+    )
+
+
 def q_cc_components(spark, sf_dir):
     """Connected components (large-star/small-star) on the chain graph."""
     edges = _chain_edges(spark, sf_dir)
@@ -526,9 +554,10 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit, 16-bit chunk banding). No SQL
-    oracle (xxhash64 is Spark-specific) -> rows-only check."""
-    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=16, max_df=300)
+    """SimHash near-dup pairs (64-bit md5-nibble hash, 4x16-bit chunk
+    banding — pigeonhole-complete for max_hamming=3).  The md5-derived
+    bits are engine-portable, so this is fully oracle-checked."""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, max_df=300)
 
 
 def q_simsearch_topk(spark, sf_dir):
@@ -538,28 +567,71 @@ def q_simsearch_topk(spark, sf_dir):
     return S.cosine_topk(emb, queries_df, k=5)
 
 
+def _ann_recall_contract(exact: DataFrame, approx: DataFrame, name: str, threshold: float) -> DataFrame:
+    """Contract row for an approximate-by-design ANN variant: the oracle
+    can't reproduce LSH/IVF internals, but it CAN pin the contract —
+    recall vs the exact top-k must stay >= threshold.  If the
+    implementation regresses, recall_ok flips to 0 and the value-hash
+    gate goes red."""
+    e = exact.select("query_id", "vec_id")
+    found = e.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("found")
+    )
+    totals = e.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("query_id").alias("n_queries")
+    )
+    return totals.crossJoin(found).select(
+        F.lit(name).alias("contract"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (F.col("found") >= F.lit(threshold) * F.col("total")).cast("long").alias("recall_ok"),
+    )
+
+
+def _ann_contract_oracle(name: str) -> str:
+    return f"""
+        SELECT '{name}' AS contract,
+               CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+               CAST(1 AS BIGINT) AS recall_ok
+    """
+
+
 def q_simsearch_ivf(spark, sf_dir):
     """IVF ANN: coarse quantizer cells + nprobe probing, exact re-rank.
-    Approximate by design -> rows-only check."""
+    Oracle checks the recall CONTRACT vs the exact top-k."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=4)
+    exact = S.cosine_topk(emb, queries_df, k=5)
+    approx = S.ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=8)
+    return _ann_recall_contract(exact, approx, "ivf_recall_ge_0.5", 0.5)
 
 
 def q_simsearch_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (bucketed candidates, exact re-rank).
-    Approximate by design -> rows-only check."""
+    """Random-hyperplane LSH ANN (multi-table bucketed candidates, exact
+    re-rank).  Oracle checks the recall CONTRACT vs the exact top-k."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return S.lsh_topk(emb, queries_df, k=5)
+    exact = S.cosine_topk(emb, queries_df, k=5)
+    # n_planes is the scale knob (more planes = smaller buckets); at this
+    # sf, 4 planes x 16 tables measures recall ~0.9 vs the 0.5 contract
+    approx = S.lsh_topk(emb, queries_df, k=5, n_planes=4, n_tables=16)
+    return _ann_recall_contract(exact, approx, "lsh_recall_ge_0.5", 0.5)
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum.
+
+    Gaps are computed in integer MICROSECONDS (unix_micros / epoch_us on
+    the DuckDB side) — whole-second truncation would flip a session
+    boundary that straddles 1800 s only at sub-second precision."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is offset-free
+    # (and gaps are differences, so any constant offset cancels anyway)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
@@ -632,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_concat": q_group_concat,
     "agg_distinct": q_agg_distinct,
     "path_closure": q_path_closure,
+    "path_from_source": q_path_from_source,
+    "path_from_source_min2": q_path_from_source_min2,
     "cc_components": q_cc_components,
     "expr_string_math": q_expr_string_math,
     "expr_hash": q_expr_hash,
@@ -648,6 +722,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+def _simhash_oracle_sql(max_hamming: int, max_df: int) -> str:
+    """DuckDB replica of ops/dedup.simhash_pairs: md5-nibble token-hash
+    bits, sign-summed; signature as a 64-char bit string (hamming() on
+    strings == bit_count(xor) on the Spark long); identical chunk spans
+    and df cap."""
+    from halyard_spark.ops.dedup import simhash_chunk_spans
+
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(m, {i // 4 + 1}, 1)) - 1) >> {i % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    bits = " || ".join(f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64))
+    chunk_rows = "\n               UNION ALL ".join(
+        f"SELECT doc_id, '{i}#' || substr(bits, {start + 1}, {ln}) AS bucket, bits FROM sig"
+        for i, (start, ln) in enumerate(simhash_chunk_spans(max_hamming))
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+        sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, {bits} AS bits FROM sums),
+        chunks AS ({chunk_rows}),
+        ok AS (SELECT bucket FROM chunks GROUP BY bucket HAVING COUNT(*) <= {max_df}),
+        flt AS (SELECT c.bucket, c.doc_id, c.bits FROM chunks c JOIN ok USING (bucket)),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.bits AS ba, y.bits AS bb
+                 FROM flt x JOIN chunks y USING (bucket) WHERE x.doc_id < y.doc_id)
+        SELECT a, b, CAST(hamming(ba, bb) AS BIGINT) AS hamming
+        FROM cand WHERE hamming(ba, bb) <= {max_hamming}
+    """
+
 
 ORACLES: dict[str, str] = {
     "q3_shipping_priority": """
@@ -780,6 +887,9 @@ ORACLES: dict[str, str] = {
         FROM pr x JOIN pr y USING (bucket) WHERE x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
     """,
+    "dedup_simhash": _simhash_oracle_sql(max_hamming=3, max_df=300),
+    "simsearch_lsh": _ann_contract_oracle("lsh_recall_ge_0.5"),
+    "simsearch_ivf": _ann_contract_oracle("ivf_recall_ge_0.5"),
     "simsearch_topk": """
         WITH nrm AS (SELECT vec_id, embedding,
                      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -795,11 +905,11 @@ ORACLES: dict[str, str] = {
         SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
     """,
     "events_sessionize": """
-        WITH l AS (SELECT user_id, ts, epoch(ts) - epoch(LAG(ts) OVER
+        WITH l AS (SELECT user_id, ts, epoch_us(ts) - epoch_us(LAG(ts) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
                    FROM events)
         SELECT user_id,
-               SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM l GROUP BY user_id
     """,
@@ -883,6 +993,25 @@ ORACLES: dict[str, str] = {
         SELECT a.p_partkey AS src, b.p_partkey AS dst
         FROM part a JOIN part b
           ON a.p_partkey // 50 = b.p_partkey // 50 AND a.p_partkey < b.p_partkey
+    """,
+    "path_from_source": """
+        WITH RECURSIVE e AS (SELECT a.p_partkey AS src, b.p_partkey AS dst
+               FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+               WHERE a.p_partkey % 50 <> 49),
+        r AS (SELECT src, dst FROM e WHERE src % 50 = 0 AND src <= 500
+              UNION
+              SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
+        SELECT src, dst FROM r
+    """,
+    "path_from_source_min2": """
+        WITH RECURSIVE e AS (SELECT a.p_partkey AS src, b.p_partkey AS dst
+               FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+               WHERE a.p_partkey % 50 <> 49),
+        r AS (SELECT src, dst FROM e WHERE src % 50 = 0 AND src <= 500
+              UNION
+              SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
+        -- length >= 2 pairs = (length >= 1 pairs) extended by one edge
+        SELECT DISTINCT r.src, e.dst FROM r JOIN e ON e.src = r.dst
     """,
     "cc_components": """
         SELECT p_partkey AS node, (p_partkey // 50) * 50 AS component FROM part

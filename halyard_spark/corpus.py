@@ -58,7 +58,6 @@ def generate_src(
     lang = F.when(i % 11 == 7, F.lit("java")).otherwise(F.lit("python"))
     ext = F.when(lang == "java", F.lit("java")).otherwise(F.lit("py"))
     path = F.concat(F.format_string("src/pkg%d/mod%d.", i % N_PKGS, i), ext)
-    commit = F.sha1(F.concat(repo, F.lit(":"), path).cast("binary"))
 
     n_imports = ((_h(i, 1) % 4) + 1) * content_scale
     n_defs = ((_h(i, 2) % 3) + 1) * content_scale
@@ -134,6 +133,11 @@ def generate_src(
         filler,
     )
     content = F.when(lang == "java", java_content).otherwise(py_content)
+    # commit identifies content (the git invariant): the pipeline's resume
+    # fingerprint hashes (repo, path, commit), so a content-only change —
+    # e.g. regenerating with a different content_scale — must change the
+    # commit, or resume=True would silently serve stale stage outputs.
+    commit = F.sha1(content.cast("binary"))
 
     return df.select(
         repo.alias("repo"),

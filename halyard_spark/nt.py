@@ -148,28 +148,56 @@ def nt_iri_value(col: str | Column) -> Column:
     return F.regexp_extract(_c(col), r"^<(.*)>$", 1)
 
 
-def nt_str(col: str | Column) -> Column:
-    """SPARQL STR(): IRI -> string, literal -> label.
+# the label of a literal: everything between the opening quote and the
+# first UNESCAPED closing quote (backslash-escape-aware, like parse_term)
+_LABEL_RE = r'^"((?:[^"\\]|\\.)*)"'
 
-    Mirrors HalyardValueExprEvaluation.java:272-286.
+# sentinel for two-phase unescaping (private-use codepoint; cannot appear
+# in N-Triples-escaped text we produced ourselves)
+_SENTINEL = ""
+
+
+def nt_unescape(col: str | Column) -> Column:
+    """Inverse of nt_escape.  Escaped backslashes are parked on a sentinel
+    first so ``\\\\n`` (escaped backslash + n) does not become a newline."""
+    c = _c(col)
+    c = F.regexp_replace(c, r"\\\\", _SENTINEL)
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r'\\"', '"')
+    return F.regexp_replace(c, _SENTINEL, "\\\\")
+
+
+def nt_str(col: str | Column) -> Column:
+    """SPARQL STR(): IRI -> string, literal -> UNESCAPED label.
+
+    Mirrors HalyardValueExprEvaluation.java:272-286 (which returns the
+    literal's label, not its escaped lexical form).
     """
     c = _c(col)
     return (
         F.when(nt_is_iri(c), nt_iri_value(c))
-        .when(nt_is_literal(c), F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1))
+        .when(nt_is_literal(c), nt_unescape(F.regexp_extract(c, _LABEL_RE, 1)))
         .otherwise(c)
     )
 
 
 def nt_lang(col: str | Column) -> Column:
-    """SPARQL LANG(): language tag or '' (HalyardValueExprEvaluation.java:320-331)."""
-    return F.regexp_extract(_c(col), r'^".*"@([A-Za-z][A-Za-z0-9-]*)$', 1)
+    """SPARQL LANG(): language tag or '' (HalyardValueExprEvaluation.java:320-331).
+
+    Anchored to the escape-aware label-closing quote so a label that
+    textually ends with @xx cannot be misread as a language tag."""
+    return F.regexp_extract(_c(col), _LABEL_RE + r"@([A-Za-z][A-Za-z0-9-]*)$", 2)
 
 
 def nt_datatype(col: str | Column) -> Column:
-    """SPARQL DATATYPE() (HalyardValueExprEvaluation.java:341-356)."""
+    """SPARQL DATATYPE() (HalyardValueExprEvaluation.java:341-356).
+
+    The ^^<...> suffix is matched right after the escape-aware closing
+    quote, so a label containing ``^^<...>`` text never leaks in."""
     c = _c(col)
-    explicit = F.regexp_extract(c, r"\^\^<(.*)>$", 1)
+    explicit = F.regexp_extract(c, _LABEL_RE + r"\^\^<(.*)>$", 2)
     return (
         F.when(~nt_is_literal(c), F.lit(None).cast("string"))
         .when(explicit != "", explicit)

@@ -21,16 +21,19 @@ from halyard_spark.ops.text import tokens
 
 
 def exact_dedup(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", by_digest: bool = False
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", by_digest: bool = True
 ) -> DataFrame:
     """(id, canonical_id): canonical = min id among byte-identical texts.
 
-    Default groups on the VALUE itself — Spark hash-partitions internally
-    but compares by value, so hash collisions can never merge distinct
-    texts (the reference's collision defense, HBaseSail.java:756-761 /
-    HalyardTableUtilsTest.java:81-107).  ``by_digest=True`` shuffles a
-    sha256 digest instead — for very wide documents where moving full
-    text through the shuffle dominates; collision odds 2^-128.
+    Default (``by_digest=True``) shuffles a 64-hex-char sha256 digest —
+    at 100 TB the groupBy key must be 32 bytes, not the document text;
+    sha256 collision odds are 2^-128, and the digest is content-derived so
+    results are identical at any parallelism.  ``by_digest=False`` groups
+    on the VALUE itself — Spark compares group keys by value, so even a
+    deliberate hash collision can never merge distinct texts (the
+    reference's collision re-check, HBaseSail.java:756-761 /
+    HalyardTableUtilsTest.java:81-107); use it when texts are narrow and
+    absolute collision-proofness matters more than shuffle width.
     """
     key = F.sha2(F.col(text_col).cast("binary"), 256) if by_digest else F.col(text_col)
     hashed = docs.select(F.col(id_col), key.alias("k"))
@@ -82,12 +85,14 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # filter on the UNROUNDED ratio (a pair in [threshold-5e-7, threshold)
+    # must not sneak through rounding); round only the projected column
+    raw = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .where(raw >= threshold)
+        .select("a", "b", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -136,17 +141,42 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_chunk_spans(max_hamming: int) -> list[tuple[int, int]]:
+    """Balanced (start, length) spans of the 64 simhash bits into
+    ``max_hamming + 1`` chunks — the pigeonhole guarantee: two signatures
+    with <= max_hamming differing bits MUST agree on at least one chunk,
+    so chunk-equality banding is a COMPLETE candidate generator."""
+    n = min(max_hamming + 1, 64)
+    base, rem = divmod(64, n)
+    spans, start = [], 0
+    for i in range(n):
+        ln = base + (1 if i < rem else 0)
+        spans.append((start, ln))
+        start += ln
+    return spans
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over tokens (xxhash64 token hashes, sign-summed per
-    bit).  Bit arithmetic stays entirely in the JVM: the per-bit
-    contributions are 64 generated sum expressions, not per-row Python."""
+    """64-bit SimHash over distinct tokens, sign-summed per bit.
+
+    Token-hash bit i is derived from md5 hex nibbles (bit i = bit (i%4) of
+    the hex value of md5 char i//4), so the signature is engine-portable:
+    DuckDB reproduces it exactly with strpos('0123456789abcdef', ...) —
+    unlike xxhash64, which exists only in Spark.  All arithmetic stays in
+    the JVM as generated column expressions (whole-stage codegen)."""
     tok = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    md5c = F.md5(F.col("tok").cast("binary"))
+    nibs = tok.select(
+        F.col(id_col),
+        *[F.conv(F.substring(md5c, n + 1, 1), 16, 10).cast("int").alias(f"nib{n}") for n in range(16)],
+    )
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
+        F.sum(
+            F.when(F.shiftright(F.col(f"nib{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
         for i in range(64)
     ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sums = nibs.groupBy(id_col).agg(*bit_sums)
     sim = None
     for i in range(64):
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -162,33 +192,33 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_df: int = 200,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.  Candidates
-    via 4x16-bit chunk banding (pigeonhole: <=3 differing bits leave at
-    least one 16-bit chunk identical), verified with bit_count(xor)."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidates via (max_hamming + 1)-way chunk banding — complete by
+    pigeonhole for ANY max_hamming (a pair within the radius always shares
+    a full chunk) — then verified with bit_count(xor).  The df cap only
+    drops pairs whose EVERY shared chunk is ubiquitous (no-signal bands),
+    mirroring the max_df guard of the other dedup ops."""
     sig = simhash64(docs, id_col, text_col)
-    chunks = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "#",
-                        F.lit(i).cast("string"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    spans = simhash_chunk_spans(max_hamming)
+    chunk_cols = [
+        F.concat_ws(
+            "#",
+            F.lit(i).cast("string"),
+            F.shiftright("simhash", start)
+            .bitwiseAND(F.lit((1 << ln) - 1 if ln < 64 else -1))
+            .cast("string"),
+        )
+        for i, (start, ln) in enumerate(spans)
+    ]
+    chunks = sig.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("bucket"))
     a = chunks.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"))
     b = chunks.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"))
     df_ok = chunks.groupBy("bucket").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
     a = a.join(df_ok.select("bucket"), "bucket")
     cand = a.join(b, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "sim_a", "sim_b").distinct()
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

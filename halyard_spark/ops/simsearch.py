@@ -83,11 +83,37 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8, vec_col: str = 
     return emb.withColumn("bucket", F.concat(*bits))
 
 
+def lsh_buckets(
+    emb: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH: one bucket row per (row, table) — n_tables
+    independent hyperplane sets (seeded seed+t), bucket prefixed with the
+    table index.  Candidate recall is 1-(1-p^n_planes)^n_tables: more
+    tables trade compute for recall without touching bucket selectivity.
+    Output explodes to n_tables rows per input row; at scale both sides of
+    the candidate join shuffle only (id, bucket) pairs."""
+    table_cols = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + t)
+        bits = [
+            F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
+            for plane in planes
+        ]
+        table_cols.append(F.concat(F.lit(f"{t}:"), *bits))
+    return emb.withColumn("bucket", F.explode(F.array(*table_cols)))
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    total: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, assignments).
 
@@ -102,8 +128,9 @@ def ivf_assign(
 
     # hash-sampled centroid seeds: no global sort/window (which would
     # funnel all rows through one partition at scale); the tiny window
-    # below numbers only the n_cells selected rows
-    total = emb.count()
+    # below numbers only the n_cells selected rows.  Pass `total` as a
+    # size hint to skip the count job (it is only a sampling-rate knob).
+    total = total if total is not None else emb.count()
     step = max(total // n_cells, 1)
     seeds = (
         emb.select(id_col, vec_col)
@@ -138,13 +165,14 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    total: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest cells per query, exact cosine
     re-rank inside them.  The candidate join is an equi-join on `cell`
     (shuffle only on the cell key); recall grows with nprobe."""
     from pyspark.sql import Window
 
-    centroids, assignments = ivf_assign(emb, n_cells, id_col, vec_col)
+    centroids, assignments = ivf_assign(emb, n_cells, id_col, vec_col, total=total)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")).withColumn(
         "_qnorm", _norm(F.col("_qvec"))
     )
@@ -186,16 +214,28 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's bucket,
-    exact cosine re-rank inside it.  Recall < 1 by design; the scale path."""
-    qb = lsh_bucket(queries, dim, n_planes, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "bucket"
-    ).withColumn("_qnorm", _norm(F.col("_qvec")))
-    cb = lsh_bucket(emb, dim, n_planes, vec_col).withColumn("_norm", _norm(F.col(vec_col)))
-    scored = (
+    """Approximate top-k: candidates restricted to buckets the query also
+    hashes into (across n_tables independent tables), exact cosine re-rank
+    over the deduped candidate set.  Recall < 1 by design; the scale path."""
+    qb = lsh_buckets(queries, dim, n_planes, n_tables, vec_col).select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    cb = lsh_buckets(emb, dim, n_planes, n_tables, vec_col).select(id_col, "bucket")
+    pairs = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")).withColumn(
+        "_qnorm", _norm(F.col("_qvec"))
+    )
+    c = emb.select(id_col, vec_col).withColumn("_norm", _norm(F.col(vec_col)))
+    scored = (
+        pairs.join(c, id_col)
+        .join(F.broadcast(q), "query_id")
         .withColumn(
             "cosine",
             F.round(_dot(F.col(vec_col), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm")), 6),

@@ -22,7 +22,17 @@ def transitive_closure(
     """edges(src, dst) -> all (src, dst) pairs connected by a directed
     path of length >= min_length (min_length=0 adds the identity pairs,
     i.e. ZeroLengthPath semantics, HTEE:1046-1065).
+
+    Only min_length in {0, 1} is supported here (the SPARQL 1.1 ``p*`` /
+    ``p+`` forms); for a bound-source query or min_length >= 2, use
+    :func:`reachable_from`, which seeds from the bound side instead of
+    materializing the whole-graph closure.
     """
+    if min_length not in (0, 1):
+        raise ValueError(
+            f"transitive_closure supports min_length in {{0, 1}}; got {min_length} "
+            "(use reachable_from for longer minimum paths)"
+        )
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     closure = edges
     for _ in range(max_iter):
@@ -45,6 +55,68 @@ def transitive_closure(
         identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         closure = closure.union(identity).distinct()
     return closure
+
+
+def reachable_from(
+    edges: DataFrame,
+    sources: DataFrame,
+    min_length: int = 1,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Bound-source property path: all (src, dst) with a directed path of
+    length >= min_length from each src in ``sources`` (a one-column
+    DataFrame named ``src``).
+
+    This is the ``<s> p+ ?o`` shape.  The reference evaluates it
+    per-binding so the scan narrows (RDF4J PathIteration re-entering the
+    strategy, strategy/.../HalyardTupleExprEvaluation.java:1073-1098);
+    computing the whole-graph closure first — quadratic in component
+    diameter — would be a scale-killer.  Distributed form: frontier BFS
+    seeded from the bound side, carrying (root, node) pairs; each round is
+    one equi-join on the frontier (small) against edges, so work is
+    proportional to the reachable subgraph, not the whole graph.
+
+    min_length >= 2 advances the seeds exactly (min_length - 1) steps
+    before collecting — {o : path(s, o) >= k} = {o : s ->^(k-1) m and
+    m ->+ o} — so e.g. ``p{2,}`` is exact, not approximated by the >= 1
+    closure.  min_length = 0 adds the identity pair for every source
+    (ZeroLengthPath binds o = s regardless of graph membership).
+    """
+    if min_length < 0:
+        raise ValueError(f"min_length must be >= 0; got {min_length}")
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    seeds = sources.select(F.col("src").alias("root"), F.col("src").alias("node")).distinct()
+    for _ in range(max(min_length - 1, 0)):
+        seeds = (
+            seeds.join(edges, seeds.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    result = None
+    frontier = seeds
+    for _ in range(max_iter):
+        stepped = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+        )
+        if result is not None:
+            stepped = stepped.join(result, ["root", "node"], "left_anti")
+        frontier = stepped.localCheckpoint(eager=False)
+        if frontier.count() == 0:  # the count materializes the checkpoint
+            break
+        result = frontier if result is None else result.union(frontier).localCheckpoint(eager=True)
+    out_schema = seeds.select(F.col("root").alias("src"), F.col("node").alias("dst")).limit(0)
+    pairs = (
+        out_schema
+        if result is None
+        else result.select(F.col("root").alias("src"), F.col("node").alias("dst"))
+    )
+    if min_length == 0:
+        identity = sources.select(F.col("src"), F.col("src").alias("dst")).distinct()
+        pairs = pairs.union(identity).distinct()
+    return pairs
 
 
 def zero_or_one_path(edges: DataFrame) -> DataFrame:

@@ -48,7 +48,39 @@ def test_spark_accessors(spark):
     assert got[0]["is_iri"] and not got[0]["is_lit"] and got[0]["s"] == "urn:ns#Local"
     assert got[1]["lang"] == "en" and got[1]["dt"] == nt.RDF + "langString"
     assert got[2]["dt"] == nt.XSD + "integer" and got[2]["s"] == "3"
-    assert got[3]["dt"] == nt.XSD + "string" and got[3]["s"] == 'a\\"b'
+    # STR() returns the UNESCAPED label (HalyardValueExprEvaluation.java:272-286)
+    assert got[3]["dt"] == nt.XSD + "string" and got[3]["s"] == 'a"b'
 
     loc = spark.createDataFrame([(nt.iri("urn:ns#Local"),)], ["t"]).select(nt.nt_localname("t").alias("l")).collect()
     assert loc[0]["l"] == "Local"
+
+
+def test_spark_accessors_adversarial_literals(spark):
+    """Labels that textually contain @xx / ^^<...> / escapes must not be
+    misparsed (the extraction anchors on the escape-aware closing quote),
+    and nt_str must invert nt_escape exactly."""
+    tricky = [
+        'ends with @en',            # fake language tag inside label
+        'fake dt ^^<urn:x>',        # fake datatype suffix inside label
+        'quote " then @fr',         # escaped quote, then fake tag
+        'back\\slash\\n not nl',    # escaped backslash followed by n
+        'tab\tnl\ncr\r mix "q" \\', # every escape class at once
+    ]
+    df = spark.createDataFrame([(nt.lit(v),) for v in tricky], ["t"])
+    got = df.select(
+        nt.nt_str("t").alias("s"),
+        nt.nt_lang("t").alias("lang"),
+        nt.nt_datatype("t").alias("dt"),
+    ).collect()
+    for v, row in zip(tricky, got):
+        assert row["s"] == v, repr(v)
+        assert row["lang"] == "", repr(v)
+        assert row["dt"] == nt.XSD + "string", repr(v)
+    # real tag / datatype still recognized on an adversarial label
+    real = spark.createDataFrame(
+        [(nt.lit('fake ^^<urn:x> inside', lang="en"),),
+         (nt.lit('ends with @de', dtype=nt.XSD + "integer"),)],
+        ["t"],
+    ).select(nt.nt_lang("t").alias("lang"), nt.nt_datatype("t").alias("dt")).collect()
+    assert real[0]["lang"] == "en" and real[0]["dt"] == nt.RDF + "langString"
+    assert real[1]["lang"] == "" and real[1]["dt"] == nt.XSD + "integer"

@@ -101,32 +101,49 @@ def run_pipeline(
     src_meta = src.select(
         "repo", "path", "commit", "lang", F.sha2(F.col("content").cast("binary"), 256).alias("content_sha256")
     )
-    quads = run_stage(
-        "triples",
-        f"{out_dir}/quads",
-        lambda: triples.emit_triples(src_meta, mentions, linked, canonical, spark),
-    )
 
-    # materialize and stats both consume only quads -> concurrent branches
-    def do_materialize() -> int:
-        t0 = time.time()
-        if resume and lineage.stage_done(spark, out_dir, "materialize", src_fp, f"{out_dir}/store/spo"):
-            count = materialize.read_index(spark, f"{out_dir}/store", "spo").count()
-            report["materialize"] = {"rows": count, "wall_ms": int((time.time() - t0) * 1000), "skipped": True}
-            return count
-        manifest = materialize.write_store(quads, f"{out_dir}/store")
-        count = manifest["triple_count"]
-        wall = int((time.time() - t0) * 1000)
-        lineage.record_stage(spark, out_dir, "materialize", src_fp, count, wall, manifest)
-        report["materialize"] = {"rows": count, "wall_ms": wall, "skipped": False}
-        return count
+    # Triple emission is FUSED with materialization: the "triples" stage
+    # writes the emitted quads DIRECTLY as the range-sorted SPO mirror —
+    # the SPO mirror IS the canonical table (the mirrors are the store, 3x
+    # write amplification exactly like HalyardTableUtils.java:267), so a
+    # separate quads copy would be a 4th full write + read of every quad.
+    # POS/OSP mirrors and stats then fan out from the SPO parquet read:
+    # the vectorized parquet reader beats the in-memory columnar cache
+    # here — dictionary encode/decode of high-cardinality term strings
+    # made cached scans 2-3x SLOWER than parquet re-reads at 23M quads.
+    store_dir = f"{out_dir}/store"
+    spo_path = f"{store_dir}/spo"
+    n_mirror = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t0 = time.time()
+    resumed_tail = resume and lineage.stage_done(spark, out_dir, "triples", src_fp, spo_path)
+    if not resumed_tail:
+        emitted = triples.emit_triples(src_meta, mentions, linked, canonical, spark)
+        materialize.write_sorted(emitted, spo_path, materialize.INDEXES["spo"], n_mirror)
+    quads = materialize.read_index(spark, store_dir, "spo")
+    triple_count = quads.count()  # footer-only (parquet aggregate pushdown)
+    wall = int((time.time() - t0) * 1000)
+    if not resumed_tail:
+        lineage.record_stage(spark, out_dir, "triples", src_fp, triple_count, wall)
+    report["triples"] = {"rows": triple_count, "wall_ms": wall, "skipped": resumed_tail}
+
+    def do_materialize() -> None:
+        t1 = time.time()
+        if resume and lineage.stage_done(spark, out_dir, "materialize", src_fp, f"{store_dir}/pos"):
+            report["materialize"] = {"rows": triple_count, "wall_ms": 0, "skipped": True}
+            return
+        materialize.write_mirrors(quads, store_dir, n_mirror, indexes=["pos", "osp"])
+        manifest = materialize.write_manifest(store_dir, triple_count, n_mirror)
+        w = int((time.time() - t1) * 1000)
+        lineage.record_stage(spark, out_dir, "materialize", src_fp, triple_count, w, manifest)
+        report["materialize"] = {"rows": triple_count, "wall_ms": w, "skipped": False}
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_mat = pool.submit(do_materialize)
         f_stats = pool.submit(
             run_stage, "stats", f"{out_dir}/void_stats", lambda: stats.void_stats(quads)
         )
-        triple_count = f_mat.result()
+        f_mat.result()
         f_stats.result()
 
     total_wall = time.time() - t_start

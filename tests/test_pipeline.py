@@ -82,9 +82,10 @@ def test_connected_components_chain_and_cycle(spark):
 
 def test_pipeline_pr_vs_golden(spark, src, pipeline_out):
     out, report = pipeline_out
+    # the SPO mirror IS the canonical quad table (no separate quads copy)
     actual = {
         (r["subj"], r["pred"], r["obj"], r["ctx"])
-        for r in spark.read.parquet(f"{out}/quads").collect()
+        for r in spark.read.parquet(f"{out}/store/spo").collect()
     }
     expected = golden.golden_triples(src.toPandas())
     p, r = golden.precision_recall(actual, expected)

@@ -38,6 +38,6 @@ def test_quads_identical_across_input_parallelism(spark, tmp_path):
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
     run.run_pipeline(spark, a_src, out_a)
     run.run_pipeline(spark, b_src, out_b)
-    qa = {tuple(r) for r in spark.read.parquet(f"{out_a}/quads").collect()}
-    qb = {tuple(r) for r in spark.read.parquet(f"{out_b}/quads").collect()}
+    qa = {tuple(r) for r in spark.read.parquet(f"{out_a}/store/spo").collect()}
+    qb = {tuple(r) for r in spark.read.parquet(f"{out_b}/store/spo").collect()}
     assert qa == qb

@@ -30,14 +30,18 @@ def _undirect(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect strictly-larger neighbors of each node to its min neighbor."""
+    """Connect strictly-larger neighbors of each node to its min neighbor.
+
+    No trailing distinct: the round's small-star output is deduped, and an
+    extra shuffle per round costs more than pushing a few duplicate rows
+    through the next join (each round is latency-bound, not volume-bound).
+    """
     und = _undirect(edges)
     mins = und.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
     return (
         und.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

@@ -68,34 +68,47 @@ def run_pipeline(
 
     mentions = run_stage("extract", f"{out_dir}/mentions", lambda: extract.extract_mentions(src))
 
-    dictionary = run_stage("dictionary", f"{out_dir}/dictionary", lambda: link.build_dictionary(mentions))
-
-    # link and canonicalize both depend only on (mentions, dictionary) and
-    # not on each other -> run them as CONCURRENT driver-thread branches.
-    # The scheduler interleaves their jobs, hiding each branch's
-    # latency-bound phases (CC convergence rounds) behind the other's
-    # compute; lineage/resume stays per-stage.
+    # Two independent branches after extract, as CONCURRENT driver threads:
+    #   (a) dictionary -> link   (b) canonicalize (entity edges -> CC).
+    # Canonicalize derives its entity universe straight from definition
+    # mentions (the same (kind, name) set the dictionary keys on), so it
+    # does NOT wait for the dictionary stage.  The scheduler interleaves
+    # the branches' jobs, hiding CC's latency-bound convergence rounds
+    # behind the link branch's compute; lineage/resume stays per-stage.
     from concurrent.futures import ThreadPoolExecutor
 
-    def build_link() -> DataFrame:
-        return run_stage(
+    def build_dict_then_link() -> tuple[DataFrame, DataFrame]:
+        dictionary = run_stage(
+            "dictionary", f"{out_dir}/dictionary", lambda: link.build_dictionary(mentions)
+        )
+        linked = run_stage(
             "link",
             f"{out_dir}/linked",
             lambda: link.link_mentions(mentions, dictionary, strategy=link_strategy),
         )
+        return dictionary, linked
 
     def build_canon() -> DataFrame:
         def canon() -> DataFrame:
             edges = _entity_edges(mentions)
-            all_entities = dictionary.select(F.col("canonical_id").alias("entity"))
+            all_entities = (
+                mentions.filter(F.col("kind").isin("module", "class", "function"))
+                .select("kind", "name")
+                .distinct()
+                .select(
+                    nt.nt_iri(
+                        F.format_string("urn:entity:%s:%s", F.col("kind"), F.col("name"))
+                    ).alias("entity")
+                )
+            )
             return cc.canonical_map(edges, all_entities)
 
         return run_stage("canonicalize", f"{out_dir}/canonical", canon)
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_link = pool.submit(build_link)
+        f_link = pool.submit(build_dict_then_link)
         f_canon = pool.submit(build_canon)
-        linked = f_link.result()
+        dictionary, linked = f_link.result()
         canonical = f_canon.result()
 
     src_meta = src.select(

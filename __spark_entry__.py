@@ -379,6 +379,64 @@ def q_kg_bgp(spark, sf_dir):
     return joined.groupBy("region_name").agg(F.count(F.lit(1)).alias("n_customers"))
 
 
+def _tpch_triples_ctx(spark, sf_dir):
+    return _tpch_triples(spark, sf_dir).withColumn("ctx", F.lit(None).cast("string"))
+
+
+def q_sparql_bgp_group(spark, sf_dir):
+    """SPARQL text front-end (query/sparql.py): parser + planner over the
+    emitted triples — BGP join chain + GROUP BY aggregate, authored as a
+    SPARQL string (reference entry point HBaseSail.java:304-337)."""
+    from halyard_spark.query.sparql import sparql_select
+
+    return sparql_select(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?region_name (COUNT(*) AS ?n_customers) WHERE {
+          ?cust p:inNation ?nation .
+          ?nation p:inRegion ?region .
+          ?region p:name ?region_name .
+        } GROUP BY ?region_name
+    """)
+
+
+def q_sparql_filter_order(spark, sf_dir):
+    """SPARQL front-end: literal-bound pattern + FILTER(CONTAINS) +
+    ORDER BY + LIMIT through the parser."""
+    from halyard_spark.query.sparql import sparql_select
+
+    return sparql_select(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?cust ?name WHERE {
+          ?cust p:mktsegment "BUILDING" .
+          ?cust p:name ?name .
+          FILTER (CONTAINS(?name, "00001"))
+        } ORDER BY ?name LIMIT 20
+    """)
+
+
+def q_sparql_optional_values(spark, sf_dir):
+    """SPARQL front-end: OPTIONAL + VALUES through the parser."""
+    from halyard_spark.query.sparql import sparql_select
+
+    return sparql_select(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?nation ?region_name WHERE {
+          ?nation p:inRegion ?region .
+          OPTIONAL { ?region p:name ?region_name }
+          VALUES ?region { <urn:region:0> <urn:region:1> }
+        }
+    """)
+
+
+def q_fulltext_scan(spark, sf_dir):
+    """Full-text search scan (`halyard:search` analog, HBaseSail.java:612-683):
+    term/phrase conjunction over literal objects, compiled to pushable
+    CONTAINS predicates over the OSP-sorted store."""
+    from halyard_spark.query.fulltext import fulltext_scan
+
+    return fulltext_scan(_tpch_triples(spark, sf_dir), 'customer "0000004"')
+
+
 def q_kg_void_stats(spark, sf_dir):
     """HalyardStats analog: per-predicate VOID stats (SURVEY §2.7 Stats)."""
     triples = _tpch_triples(spark, sf_dir)
@@ -387,6 +445,43 @@ def q_kg_void_stats(spark, sf_dir):
         F.countDistinct("subj").alias("distinct_subjects"),
         F.countDistinct("obj").alias("distinct_objects"),
     )
+
+
+def _tpch_triples_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H triples + rdf:type triples (for domain/range summaries)."""
+    base = _tpch_triples(spark, sf_dir)
+    rdf_type = F.lit(f"<{nt.RDF}type>")
+    typed = [
+        _t(spark, sf_dir, "customer").select(
+            nt.nt_iri(F.concat(F.lit("urn:customer:"), F.col("c_custkey").cast("string"))).alias("subj"),
+            rdf_type.alias("pred"), F.lit("<urn:t:Customer>").alias("obj")),
+        _t(spark, sf_dir, "nation").select(
+            nt.nt_iri(F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))).alias("subj"),
+            rdf_type.alias("pred"), F.lit("<urn:t:Nation>").alias("obj")),
+        _t(spark, sf_dir, "region").select(
+            nt.nt_iri(F.concat(F.lit("urn:region:"), F.col("r_regionkey").cast("string"))).alias("subj"),
+            rdf_type.alias("pred"), F.lit("<urn:t:Region>").alias("obj")),
+    ]
+    out = base
+    for p in typed:
+        out = out.unionByName(p)
+    return out
+
+
+def q_summary_domain_range(spark, sf_dir):
+    """HalyardSummary analog: class/predicate/domain/range/domain+range
+    summaries with log2 bucketing (HalyardSummary.java:163-174,210)."""
+    from halyard_spark.pipeline import stats as ST2
+
+    return ST2.summary(_tpch_triples_typed(spark, sf_dir), decimation=1)
+
+
+def q_kg_stats_rdf(spark, sf_dir):
+    """HalyardStats output side: VOID statistics emitted AS RDF quads into
+    the stats named graph (HalyardStats.java:96-441)."""
+    from halyard_spark.pipeline import stats as ST2
+
+    return ST2.stats_rdf(_tpch_triples_ctx(spark, sf_dir))
 
 
 def q_summary_log2(spark, sf_dir):
@@ -703,6 +798,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slice_offset": q_slice_offset,
     "group_concat": q_group_concat,
     "agg_distinct": q_agg_distinct,
+    "summary_domain_range": q_summary_domain_range,
+    "kg_stats_rdf": q_kg_stats_rdf,
     "path_closure": q_path_closure,
     "path_from_source": q_path_from_source,
     "path_from_source_min2": q_path_from_source_min2,
@@ -715,6 +812,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exists_filter": q_exists_filter,
     "kg_triples": q_kg_triples,
     "kg_bgp": q_kg_bgp,
+    "sparql_bgp_group": q_sparql_bgp_group,
+    "sparql_filter_order": q_sparql_filter_order,
+    "sparql_optional_values": q_sparql_optional_values,
+    "fulltext_scan": q_fulltext_scan,
     "kg_void_stats": q_kg_void_stats,
     "summary_log2": q_summary_log2,
     "window_topk_group": q_window_topk_group,
@@ -1064,12 +1165,86 @@ ORACLES: dict[str, str] = {
         JOIN t nm ON nm.pred = '<urn:p:name>' AND nm.subj = nr.obj
         GROUP BY nm.obj
     """.format(triples=_TPCH_TRIPLES_SQL),
+    "sparql_bgp_group": """
+        WITH t AS ({triples})
+        SELECT nm.obj AS region_name, COUNT(*) AS n_customers
+        FROM t cn JOIN t nr ON cn.pred = '<urn:p:inNation>' AND nr.pred = '<urn:p:inRegion>'
+                AND cn.obj = nr.subj
+        JOIN t nm ON nm.pred = '<urn:p:name>' AND nm.subj = nr.obj
+        GROUP BY nm.obj
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "sparql_filter_order": """
+        SELECT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS cust,
+               '"' || c_name || '"' AS name
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_name LIKE '%00001%'
+        ORDER BY c_name LIMIT 20
+    """,
+    "sparql_optional_values": """
+        SELECT '<urn:nation:' || CAST(n_nationkey AS VARCHAR) || '>' AS nation,
+               '"' || r_name || '"' AS region_name
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        WHERE n_regionkey IN (0, 1)
+    """,
+    "fulltext_scan": """
+        SELECT subj, pred, obj FROM ({triples}) t
+        WHERE obj LIKE '"%' AND lower(obj) LIKE '%customer%'
+          AND lower(obj) LIKE '%0000004%'
+    """.format(triples=_TPCH_TRIPLES_SQL),
     "kg_void_stats": """
         WITH t AS ({triples})
         SELECT pred, COUNT(*) AS triples,
                COUNT(DISTINCT subj) AS distinct_subjects,
                COUNT(DISTINCT obj) AS distinct_objects
         FROM t GROUP BY pred
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "summary_domain_range": """
+        WITH t AS ({triples}
+          UNION ALL SELECT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>',
+                 '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<urn:t:Customer>' FROM customer
+          UNION ALL SELECT '<urn:nation:' || CAST(n_nationkey AS VARCHAR) || '>',
+                 '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<urn:t:Nation>' FROM nation
+          UNION ALL SELECT '<urn:region:' || CAST(r_regionkey AS VARCHAR) || '>',
+                 '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<urn:t:Region>' FROM region
+        ),
+        ty AS (SELECT subj AS node, obj AS cls FROM t
+               WHERE pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'),
+        d AS (SELECT * FROM t
+              WHERE pred <> '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>')
+        SELECT 'class' AS stat_kind, NULL AS pred, cls AS domain, NULL AS range,
+               COUNT(*) AS est_count, CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT) AS log2_bucket
+        FROM ty GROUP BY cls
+        UNION ALL
+        SELECT 'predicate', pred, NULL, NULL, COUNT(*), CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT)
+        FROM d GROUP BY pred
+        UNION ALL
+        SELECT 'domain', pred, ty.cls, NULL, COUNT(*), CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT)
+        FROM d JOIN ty ON d.subj = ty.node GROUP BY pred, ty.cls
+        UNION ALL
+        SELECT 'range', pred, NULL, ty.cls, COUNT(*), CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT)
+        FROM d JOIN ty ON d.obj = ty.node GROUP BY pred, ty.cls
+        UNION ALL
+        SELECT 'domain_range', pred, ts.cls, tob.cls, COUNT(*), CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT)
+        FROM d JOIN ty ts ON d.subj = ts.node JOIN ty tob ON d.obj = tob.node
+        GROUP BY pred, ts.cls, tob.cls
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "kg_stats_rdf": """
+        WITH t AS ({triples}),
+        s AS (SELECT COUNT(*) AS n, COUNT(DISTINCT subj) AS ds,
+                     COUNT(DISTINCT pred) AS pp, COUNT(DISTINCT obj) AS dobj FROM t)
+        SELECT '<urn:halyard-spark:default>' AS subj,
+               '<http://rdfs.org/ns/void#triples>' AS pred,
+               '"' || CAST(n AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj,
+               '<urn:halyard-spark:statsContext>' AS ctx FROM s
+        UNION ALL SELECT '<urn:halyard-spark:default>', '<http://rdfs.org/ns/void#distinctSubjects>',
+               '"' || CAST(ds AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+               '<urn:halyard-spark:statsContext>' FROM s
+        UNION ALL SELECT '<urn:halyard-spark:default>', '<http://rdfs.org/ns/void#properties>',
+               '"' || CAST(pp AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+               '<urn:halyard-spark:statsContext>' FROM s
+        UNION ALL SELECT '<urn:halyard-spark:default>', '<http://rdfs.org/ns/void#distinctObjects>',
+               '"' || CAST(dobj AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+               '<urn:halyard-spark:statsContext>' FROM s
     """.format(triples=_TPCH_TRIPLES_SQL),
     "summary_log2": """
         SELECT o_orderpriority, COUNT(*) AS n,

@@ -211,6 +211,13 @@ def nt_localname(col: str | Column) -> Column:
     return F.element_at(F.split(nt_iri_value(col), r"[#/]"), -1)
 
 
+def nt_namespace(col: str | Column) -> Column:
+    """IRI namespace: everything up to and including the last '#' or '/'
+    (HalyardValueExprEvaluation.java:366-392 Namespace accessor)."""
+    v = nt_iri_value(col)
+    return F.regexp_extract(v, r"^(.*[#/])", 1)
+
+
 # ---------------------------------------------------------------- pandas
 
 

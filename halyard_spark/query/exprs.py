@@ -17,9 +17,18 @@ from pyspark.sql import functions as F
 from halyard_spark import nt
 
 
+_NUMERIC_LEXICAL = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
 def try_numeric(col: str | Column) -> Column:
-    """Lexical term -> double, NULL on non-numeric (error->unbound)."""
-    return nt.nt_str(col).try_cast("double")
+    """Lexical term -> double, NULL on non-numeric (error->unbound).
+
+    A regex-guarded cast rather than try_cast: TryCast cannot be code-
+    generated inside sort expressions (Spark INTERNAL_ERROR), and the
+    guarded cast never trips ANSI because only validated lexicals reach
+    the cast branch."""
+    c = nt.nt_str(col)
+    return F.when(c.rlike(_NUMERIC_LEXICAL), c.cast("double"))
 
 
 def ebv(col: str | Column) -> Column:
@@ -56,14 +65,78 @@ def sparql_compare(a: str | Column, b: str | Column) -> Column:
     )
 
 
-def order_key(col: str | Column) -> list[Column]:
+def langmatches(lang: Column, rng: str | Column) -> Column:
+    """SPARQL langMatches(lang, range): '*' matches any non-empty tag;
+    otherwise case-insensitive exact match or prefix followed by '-'
+    (HalyardValueExprEvaluation.java:561-581)."""
+    r = F.lit(rng) if isinstance(rng, str) else rng
+    tag, rl = F.lower(lang), F.lower(r)
+    return F.when(rl == "*", tag != "").otherwise(
+        (tag == rl) | tag.startswith(F.concat(rl, F.lit("-")))
+    )
+
+
+def iri_resolve(value: Column, base: str | None = None) -> Column:
+    """SPARQL IRI(str): string -> IRI term, resolving relative references
+    against the base URI (HalyardValueExprEvaluation.java:465-495).
+    Absolute = has a scheme (letter followed by [A-Za-z0-9+.-]* then ':');
+    relative strings are resolved RFC 3986-simple: absolute-path refs
+    replace the base path, others append to the base's directory."""
+    s = nt.nt_str(value)
+    is_abs = s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    if base is None:
+        resolved = F.when(is_abs, s)  # no base: relative -> NULL (error)
+    else:
+        b_dir = base.rsplit("/", 1)[0] + "/" if "/" in base else base
+        b_root = base.split("://", 1)[0] + "://" + base.split("://", 1)[1].split("/", 1)[0] if "://" in base else base
+        resolved = (
+            F.when(is_abs, s)
+            .when(s.startswith("/"), F.concat(F.lit(b_root), s))
+            .otherwise(F.concat(F.lit(b_dir), s))
+        )
+    valid = ~resolved.rlike(r'[<>"{}|^`\\\s]') & (F.length(resolved) > 0)
+    return F.when(valid, nt.nt_iri(resolved))
+
+
+_NUMERIC_DATATYPES = [
+    nt.XSD + t
+    for t in (
+        "integer", "decimal", "float", "double", "nonPositiveInteger",
+        "negativeInteger", "long", "int", "short", "byte",
+        "nonNegativeInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte", "positiveInteger",
+    )
+]
+
+
+def is_numeric_term(col: str | Column) -> Column:
+    """SPARQL isNumeric(): literal whose DATATYPE IRI is an XSD numeric
+    type (HalyardValueExprEvaluation.java:445-454 via
+    XMLDatatypeUtil.isNumericDatatype) — a datatype test, not a lexical
+    probe: '"3"' (xsd:string) is NOT numeric even though it parses."""
+    return F.coalesce(nt.nt_datatype(col).isin(_NUMERIC_DATATYPES), F.lit(False))
+
+
+def bnode_seeded(*cols: Column, label: str = "b") -> Column:
+    """BNODE(...) deterministic skolemization: a fresh-but-stable blank
+    node derived from the hashed binding values
+    (HalyardValueExprEvaluation.java:234-246 seeds the generated node from
+    the bindings so repeated evaluation is stable)."""
+    seed = F.sha1(F.concat_ws("", F.lit(label), *cols).cast("binary"))
+    return F.concat(F.lit("_:"), F.lit(label), seed)
+
+
+def order_key(col: str | Column, ascending: bool = True) -> list[Column]:
     """SPARQL ORDER BY key for mixed terms: type rank (bnode < IRI <
     literal, per ValueComparator), then numeric value when numeric, then
-    lexical form."""
+    lexical form.  Direction is applied HERE (a SortOrder column cannot be
+    re-wrapped with .desc() — nested SortOrder breaks codegen); NULL
+    numeric keys (non-numeric literals) always sort after numerics."""
     c = F.col(col) if isinstance(col, str) else col
     rank = (
         F.when(nt.nt_is_bnode(c), 0).when(nt.nt_is_iri(c), 1).otherwise(2)
     )
-    # numeric literals order by value BEFORE plain strings (nulls_last:
-    # a non-numeric literal has NULL numeric key and must not sort first)
-    return [rank, F.asc_nulls_last(try_numeric(c)), nt.nt_str(c)]
+    num = try_numeric(c)
+    if ascending:
+        return [rank.asc(), F.asc_nulls_last(num), nt.nt_str(c).asc()]
+    return [rank.desc(), F.desc_nulls_last(num), nt.nt_str(c).desc()]

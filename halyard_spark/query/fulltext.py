@@ -1,0 +1,69 @@
+"""Full-text search scan — the `halyard:search` analog.
+
+In the reference, an object literal typed ``halyard:search`` triggers an
+Elasticsearch ``query_string`` query whose hits become OSP scan keys
+(sail/.../HBaseSail.java:612-683; datatype dispatch :392-398; vocab
+strategy/.../vocab/HALYARD.java:56).  Without an external index, the
+Spark-native equivalent is a distributed scan over the OSP-sorted mirror
+with the match compiled into pushable column predicates: tokens become
+case-insensitive CONTAINS conjuncts, quoted phrases exact substrings.
+At scale this reads only the ``obj`` column (column pruning) and streams;
+with an external search service the same operator would instead join the
+hit-id list against the OSP mirror, which is why it is factored here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from halyard_spark import nt
+
+SEARCH_DATATYPE = nt.NS + "search"  # mirrors halyard:search (HALYARD.java:56)
+
+
+def parse_query(query: str) -> list[str]:
+    """query_string subset: bare terms AND quoted phrases, all must match."""
+    parts = re.findall(r'"((?:[^"\\]|\\.)*)"|(\S+)', query)
+    return [phrase if phrase else term for phrase, term in parts]
+
+
+def match_condition(obj: Column, query: str) -> Column:
+    """Case-insensitive conjunction of term/phrase containment over the
+    literal's label."""
+    label = F.lower(nt.nt_str(obj))
+    cond = nt.nt_is_literal(obj)
+    for term in parse_query(query):
+        cond = cond & label.contains(term.lower())
+    return cond
+
+
+def fulltext_scan(triples: DataFrame, query: str) -> DataFrame:
+    """Statements whose literal object matches the search query —
+    the packaged rlike/contains-over-OSP fallback for HBaseSail's ES scan.
+    Feed it the OSP mirror so the object predicate prunes row groups."""
+    return triples.where(match_condition(F.col("obj"), query))
+
+
+def search_literals(triples: DataFrame, patterns_df: DataFrame) -> DataFrame:
+    """Batch form: join a DataFrame of (query_id, query) search literals
+    against the store — each query's hits tagged with its id.  Mirrors the
+    reference's weak-map result cache turned into a set-oriented join."""
+    queries = [(r["query_id"], r["query"]) for r in patterns_df.collect()]
+    parts = []
+    for qid, q in queries:
+        parts.append(
+            fulltext_scan(triples, q).select(
+                F.lit(qid).alias("query_id"), "subj", "pred", "obj"
+            )
+        )
+    if not parts:
+        return patterns_df.sparkSession.createDataFrame(
+            [], "query_id string, subj string, pred string, obj string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -84,3 +84,104 @@ def json_to_triples(df: DataFrame, node_col: str, struct_col: str, ns: str = "ur
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string, ctx string"
+
+
+def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """ND-JSON-LD reader: newline-delimited JSON-LD, each line its own
+    document (rio/.../NDJSONLDParser.java:38-75 wraps each line as an
+    independent JSON-LD document).
+
+    Supported JSON-LD subset: @context with simple prefix/term string
+    mappings, @id (subject IRI; blank node skolemized from content when
+    absent), @type, scalar values -> literals, {"@id": ...} -> IRI objects,
+    {"@value", "@language"/"@type"} -> tagged/typed literals, arrays of any
+    of those.  Runs as Arrow-batched pandas over the line column — JSON-LD
+    term resolution is data-dependent, so this is a genuine
+    can't-express-in-built-ins boundary (the same place the reference
+    spends a ParserPump thread, tools/.../HalyardBulkLoad.java:321-482).
+    """
+    import hashlib
+    import json
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def expand_iri(term: str, ctx: dict) -> str:
+        if term in ctx and isinstance(ctx[term], str):
+            return ctx[term]
+        if ":" in term:
+            prefix, _, local = term.partition(":")
+            if prefix in ctx and isinstance(ctx[prefix], str):
+                return ctx[prefix] + local
+        vocab = ctx.get("@vocab", "urn:ndjsonld:")
+        return term if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", term) else vocab + term
+
+    def emit(doc: dict, out: list) -> None:
+        ctx = doc.get("@context") or {}
+        if not isinstance(ctx, dict):
+            ctx = {}
+        sid = doc.get("@id")
+        if sid:
+            subj = nt.iri(expand_iri(str(sid), ctx))
+        else:
+            digest = hashlib.sha1(
+                json.dumps(doc, sort_keys=True).encode()
+            ).hexdigest()
+            subj = f"_:b{digest}"  # deterministic skolem bnode
+        for key, val in doc.items():
+            if key in ("@context", "@id"):
+                continue
+            if key == "@type":
+                pred = nt.iri(nt.RDF + "type")
+                vals = val if isinstance(val, list) else [val]
+                for v in vals:
+                    out.append((subj, pred, nt.iri(expand_iri(str(v), ctx)), None))
+                continue
+            pred = nt.iri(expand_iri(key, ctx))
+            vals = val if isinstance(val, list) else [val]
+            for v in vals:
+                if isinstance(v, dict):
+                    if "@id" in v:
+                        out.append((subj, pred, nt.iri(expand_iri(str(v["@id"]), ctx)), None))
+                    elif "@value" in v:
+                        out.append(
+                            (
+                                subj,
+                                pred,
+                                nt.lit(
+                                    str(v["@value"]),
+                                    lang=v.get("@language"),
+                                    dtype=expand_iri(v["@type"], ctx) if "@type" in v else None,
+                                ),
+                                None,
+                            )
+                        )
+                elif isinstance(v, bool):
+                    out.append((subj, pred, nt.lit("true" if v else "false", dtype=nt.XSD + "boolean"), None))
+                elif isinstance(v, (int, float)):
+                    dt = nt.XSD + ("integer" if isinstance(v, int) else "double")
+                    out.append((subj, pred, nt.lit(str(v), dtype=dt), None))
+                elif v is not None:
+                    out.append((subj, pred, nt.lit(str(v)), None))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["subj", "pred", "obj", "ctx"]
+        for pdf in batches:
+            rows: list = []
+            for line in pdf[line_col].fillna(""):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    doc = json.loads(line)
+                except ValueError:
+                    continue  # dirty-parse tolerance (HalyardBulkLoad skipinvalid)
+                if isinstance(doc, dict):
+                    emit(doc, rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(line_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)

@@ -1,0 +1,98 @@
+"""Fulltext scan, ND-JSON-LD reader, summary/stats-RDF unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from halyard_spark import nt
+from halyard_spark.pipeline import stats as ST
+from halyard_spark.query.fulltext import fulltext_scan, parse_query, search_literals
+from halyard_spark.sources.rio import ndjsonld_to_triples
+
+
+def _g(spark):
+    rows = [
+        ("<urn:d1>", "<urn:p:title>", nt.lit("The Quick Brown Fox"), None),
+        ("<urn:d2>", "<urn:p:title>", nt.lit("quick fixes for slow foxes"), None),
+        ("<urn:d3>", "<urn:p:title>", nt.lit("nothing to see"), None),
+        ("<urn:d4>", "<urn:p:ref>", "<urn:quick>", None),  # IRI: never matches
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+
+
+def test_parse_query_terms_and_phrases():
+    assert parse_query('alpha "two words" beta') == ["alpha", "two words", "beta"]
+
+
+def test_fulltext_scan_matches_literals_only(spark):
+    g = _g(spark)
+    got = {r["subj"] for r in fulltext_scan(g, "quick fox").collect()}
+    assert got == {"<urn:d1>", "<urn:d2>"}  # case-insensitive, AND semantics
+    got2 = {r["subj"] for r in fulltext_scan(g, '"quick brown"').collect()}
+    assert got2 == {"<urn:d1>"}  # phrase = exact substring
+    assert fulltext_scan(g, "urn:quick").count() == 0  # IRIs excluded
+
+
+def test_search_literals_batch(spark):
+    g = _g(spark)
+    qs = spark.createDataFrame([("q1", "fox"), ("q2", "nothing")], "query_id string, query string")
+    got = {(r["query_id"], r["subj"]) for r in search_literals(g, qs).collect()}
+    assert got == {("q1", "<urn:d1>"), ("q1", "<urn:d2>"), ("q2", "<urn:d3>")}
+
+
+def test_ndjsonld_reader(spark):
+    lines = [
+        '{"@context": {"ex": "http://ex.org/", "name": "http://ex.org/name"},'
+        ' "@id": "ex:a", "@type": "ex:Person", "name": "Alice",'
+        ' "ex:age": 30, "ex:knows": {"@id": "ex:b"}}',
+        '{"@id": "http://ex.org/b", "http://ex.org/name":'
+        ' {"@value": "Bob", "@language": "en"}}',
+        'not json at all',  # dirty-parse tolerance: skipped
+        '{"name": "anon doc"}',  # no @id -> deterministic skolem bnode
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    got = {(r["subj"], r["pred"], r["obj"]) for r in ndjsonld_to_triples(df).collect()}
+    ex = "http://ex.org/"
+    assert (nt.iri(ex + "a"), nt.iri(nt.RDF + "type"), nt.iri(ex + "Person")) in got
+    assert (nt.iri(ex + "a"), nt.iri(ex + "name"), nt.lit("Alice")) in got
+    assert (nt.iri(ex + "a"), nt.iri(ex + "age"), nt.lit("30", dtype=nt.XSD + "integer")) in got
+    assert (nt.iri(ex + "a"), nt.iri(ex + "knows"), nt.iri(ex + "b")) in got
+    assert (nt.iri(ex + "b"), nt.iri(ex + "name"), nt.lit("Bob", lang="en")) in got
+    anon = [s for s, p, o in got if o == nt.lit("anon doc")]
+    assert len(anon) == 1 and anon[0].startswith("_:b")
+    # determinism: same input -> same skolem ids regardless of partitioning
+    again = {(r["subj"], r["pred"], r["obj"])
+             for r in ndjsonld_to_triples(df.repartition(4)).collect()}
+    assert again == got
+
+
+def test_summary_domain_range(spark):
+    t = nt.iri(nt.RDF + "type")
+    rows = [
+        ("<urn:a>", t, "<urn:T:A>", None),
+        ("<urn:b>", t, "<urn:T:B>", None),
+        ("<urn:a>", "<urn:p:knows>", "<urn:b>", None),
+        ("<urn:a>", "<urn:p:name>", nt.lit("x"), None),
+    ]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+    got = {(r["stat_kind"], r["pred"], r["domain"], r["range"], r["est_count"])
+           for r in ST.summary(g, decimation=1).collect()}
+    assert ("class", None, "<urn:T:A>", None, 1) in got
+    assert ("predicate", "<urn:p:knows>", None, None, 1) in got
+    assert ("domain", "<urn:p:name>", "<urn:T:A>", None, 1) in got
+    assert ("range", "<urn:p:knows>", None, "<urn:T:B>", 1) in got
+    assert ("domain_range", "<urn:p:knows>", "<urn:T:A>", "<urn:T:B>", 1) in got
+
+
+def test_stats_rdf_emits_void_quads(spark):
+    rows = [
+        ("<urn:a>", "<urn:p>", "<urn:b>", "<urn:graph:g1>"),
+        ("<urn:a>", "<urn:p>", "<urn:c>", None),
+    ]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+    out = ST.stats_rdf(g)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    one = nt.lit("1", dtype=nt.XSD + "integer")
+    assert ("<urn:graph:g1>", f"<{ST.VOID}triples>", one) in got
+    assert (ST.DEFAULT_GRAPH_IRI, f"<{ST.VOID}distinctObjects>", one) in got
+    assert {r["ctx"] for r in out.collect()} == {ST.STATS_GRAPH}

@@ -66,6 +66,27 @@ def test_spo_mirror_sorted_for_rowgroup_pruning(spark, store):
     assert "PushedFilters" in plan and "ctx" in plan.split("PushedFilters:")[1][:300]
 
 
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """exact_dedup's default groupBy key must be the 64-hex sha256 digest:
+    at 100 TB the shuffle key is 32 bytes, never the document text.  The
+    Exchange nodes of the plan must not carry the text column."""
+    from halyard_spark.ops.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "some document body"), (2, "another body"), (3, "some document body")],
+        "doc_id long, text string",
+    )
+    df = exact_dedup(docs)
+    plan = _plan(df)
+    assert "sha2" in plan, plan
+    for seg in plan.splitlines():
+        if "Exchange" in seg:
+            assert "text#" not in seg, seg
+    # collision-defense semantics preserved: identical texts collapse
+    got = {(r["doc_id"], r["canonical_id"]) for r in df.collect()}
+    assert got == {(1, 1), (2, 2), (3, 1)}
+
+
 def test_extract_boundary_is_narrow(spark):
     """The Arrow exchange of the extract stage must not echo file metadata:
     the python-side schema carries only fid/kind/name/qualifier."""

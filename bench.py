@@ -10,7 +10,7 @@ Three parts:
 1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
    on local[$SPARK_GRAFT_CPUS];
 2. full KG-construct pipeline throughput at local[$SPARK_GRAFT_CPUS]
-   (the BASELINE.json primary metric, triples/sec);
+   (the BASELINE.json primary metric, triples/sec), at local[32] and local[16];
 3. the two-cluster-size scaling proxy (BASELINE.md): the same pipeline at
    local[N] and local[4N] on identical input, in subprocesses (one JVM
    cannot change master).  N=2 by default so neither level oversubscribes
@@ -194,7 +194,9 @@ def write_baseline_md(result: dict) -> None:
                 "",
                 "Measurement caveat: the host shows intermittent neighbor noise",
                 "(10-20% steal periods); every level reports the best of its",
-                "repeats, measured in one bench invocation.",
+                "repeats, measured in one bench invocation.  A noise-penalized",
+                "slow-leg sample can push a ratio above 1.0 — read >1 values as",
+                "slow-leg measurement noise, not superlinear scaling.",
             ]
     lines += [
         "",

@@ -1,0 +1,129 @@
+"""HTTP SPARQL protocol endpoint — thin server over the text front-end.
+
+The reference ships a lightweight com.sun.net.httpserver-based endpoint
+(tools/.../HttpSparqlHandler.java:56-180, HalyardEndpoint.java): GET with
+?query=, POST with application/sparql-query or form-encoded query, plus
+STORED QUERIES addressable by path.  This is the same surface on Python's
+stdlib http.server, evaluating through query/sparql.sparql_select and
+answering in the SPARQL 1.1 Query Results JSON Format.
+
+A thin server is the right shape here: query execution happens in Spark
+(the driver holds the SparkSession); the endpoint only parses protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+from halyard_spark import nt
+from halyard_spark.query.sparql import sparql_select
+
+RESULTS_JSON = "application/sparql-results+json"
+
+
+def binding_json(value) -> dict | None:
+    """One RDF term (N-Triples lexical or plain value) -> SPARQL-results
+    JSON binding object."""
+    if value is None:
+        return None
+    if isinstance(value, str) and (
+        value.startswith("<") or value.startswith("_:") or value.startswith('"')
+    ):
+        try:
+            t = nt.parse_term(value)
+        except ValueError:
+            return {"type": "literal", "value": value}
+        if t["kind"] == "iri":
+            return {"type": "uri", "value": t["value"]}
+        if t["kind"] == "bnode":
+            return {"type": "bnode", "value": t["value"]}
+        out = {"type": "literal", "value": t["value"]}
+        if t["lang"]:
+            out["xml:lang"] = t["lang"]
+        elif t["datatype"] and t["datatype"] != nt.XSD + "string":
+            out["datatype"] = t["datatype"]
+        return out
+    return {"type": "literal", "value": str(value)}
+
+
+def results_json(df: DataFrame, limit: int = 10000) -> dict:
+    cols = df.columns
+    bindings = []
+    for row in df.limit(limit).collect():
+        b = {}
+        for c in cols:
+            j = binding_json(row[c])
+            if j is not None:
+                b[c] = j
+        bindings.append(b)
+    return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+
+
+class SparqlEndpoint:
+    """Serve SPARQL over HTTP for one triples DataFrame.
+
+    stored: name -> SPARQL string, served at /stored/<name> (the
+    reference's stored-queries feature, HttpSparqlHandler.java).
+    """
+
+    def __init__(self, triples: DataFrame, port: int = 0, stored: dict[str, str] | None = None):
+        self.triples = triples
+        self.stored = dict(stored or {})
+        ep = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _answer(self, query: str | None):
+                if not query:
+                    self.send_error(400, "missing query")
+                    return
+                try:
+                    df = sparql_select(ep.triples, query)
+                    payload = json.dumps(results_json(df)).encode()
+                except Exception as exc:  # malformed query -> protocol error
+                    self.send_error(400, str(exc)[:500])
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", RESULTS_JSON)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                params = urllib.parse.parse_qs(parsed.query)
+                if parsed.path.startswith("/stored/"):
+                    name = parsed.path[len("/stored/"):]
+                    self._answer(ep.stored.get(name))
+                    return
+                self._answer((params.get("query") or [None])[0])
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length).decode()
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/sparql-query":
+                    self._answer(body)
+                else:  # form-encoded (the SPARQL protocol's other POST form)
+                    params = urllib.parse.parse_qs(body)
+                    self._answer((params.get("query") or [None])[0])
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SparqlEndpoint":
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()

@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|[A-Za-z_][A-Za-z0-9_\-]*:?)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!*/+\-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!*/+\-?])
     """,
     re.VERBOSE,
 )
@@ -304,8 +304,15 @@ class _Parser:
     def parse_verb(self):
         if self.peek().kind == "KW" and self.peek().value == "a":
             self.next()
-            return ("iri", nt.RDF + "type")
-        return self.parse_term()
+            term = ("iri", nt.RDF + "type")
+        else:
+            term = self.parse_term()
+        # property-path modifiers p+ / p* / p? on an IRI predicate
+        t = self.peek()
+        if term[0] == "iri" and t.kind == "OP" and t.value in ("+", "*", "?"):
+            self.next()
+            return ("path", term[1], t.value)
+        return term
 
     def parse_term(self):
         t = self.next()
@@ -538,6 +545,8 @@ class _Planner:
         return A.values_table(self.spark, rows, schema)
 
     def eval_triple(self, s, p, o) -> DataFrame:
+        if p[0] == "path":
+            return self.eval_path(s, p[1], p[2], o)
         positions = {"subj": s, "pred": p, "obj": o}
         df = self.triples
         out_cols, seen_vars = [], {}
@@ -555,6 +564,43 @@ class _Planner:
         for cond in eq_filters:
             df = df.filter(cond)
         return df.select(*out_cols)
+
+    def eval_path(self, s, pred_iri: str, mod: str, o) -> DataFrame:
+        """Property path p+ / p* / p? (ArbitraryLengthPath / ZeroLengthPath,
+        HalyardTupleExprEvaluation.java:1046-1098).  A bound endpoint
+        routes to the frontier-BFS reachable_from — never the whole-graph
+        closure (the reference evaluates per-binding for the same reason);
+        var-var falls back to path doubling / zero-or-one."""
+        from halyard_spark.query import path as PATH
+
+        edges = self.triples.where(F.col("pred") == nt.iri(pred_iri)).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        min_length = 0 if mod == "*" else 1
+        s_var, o_var = s[0] == "var", o[0] == "var"
+        if not s_var and not o_var:
+            raise ValueError("SPARQL: property path with both endpoints bound is unsupported")
+        if s_var and o_var:
+            if mod == "?":
+                pairs = PATH.zero_or_one_path(edges)
+            else:
+                pairs = PATH.transitive_closure(edges, min_length=min_length)
+            return pairs.select(F.col("src").alias(s[1]), F.col("dst").alias(o[1]))
+        if not s_var:  # bound source
+            seeds = self.spark.createDataFrame([(  _Parser.term_lexical(s),)], "src string")
+            if mod == "?":
+                pairs = PATH.reachable_from(edges, seeds, min_length=0, max_iter=1)
+            else:
+                pairs = PATH.reachable_from(edges, seeds, min_length=min_length)
+            return pairs.select(F.col("dst").alias(o[1]))
+        # bound object: BFS over reversed edges seeded from the object
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        seeds = self.spark.createDataFrame([(_Parser.term_lexical(o),)], "src string")
+        if mod == "?":
+            pairs = PATH.reachable_from(rev, seeds, min_length=0, max_iter=1)
+        else:
+            pairs = PATH.reachable_from(rev, seeds, min_length=min_length)
+        return pairs.select(F.col("dst").alias(s[1]))
 
     # -- expressions
     def eval_expr(self, e, df: DataFrame) -> tuple[Column, str]:

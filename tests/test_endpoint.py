@@ -1,0 +1,82 @@
+"""HTTP SPARQL endpoint protocol tests (HttpSparqlHandler analog)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from halyard_spark import nt
+from halyard_spark.endpoint import SparqlEndpoint
+
+
+@pytest.fixture(scope="module")
+def ep(spark):
+    rows = [
+        ("<urn:a>", "<urn:p:name>", nt.lit("Ada"), None),
+        ("<urn:b>", "<urn:p:name>", nt.lit("Bo", lang="en"), None),
+        ("<urn:a>", "<urn:p:next>", "<urn:b>", None),
+    ]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+    endpoint = SparqlEndpoint(
+        g, stored={"names": "SELECT ?s ?n WHERE { ?s <urn:p:name> ?n }"}
+    ).start()
+    yield endpoint
+    endpoint.stop()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("application/sparql-results+json")
+        return json.load(r)
+
+
+def test_get_query(ep):
+    q = "SELECT ?s ?n WHERE { ?s <urn:p:name> ?n }"
+    data = _get(f"http://127.0.0.1:{ep.port}/sparql?query=" + urllib.parse.quote(q))
+    assert data["head"]["vars"] == ["s", "n"]
+    got = {(b["s"]["value"], b["n"]["value"]) for b in data["results"]["bindings"]}
+    assert got == {("urn:a", "Ada"), ("urn:b", "Bo")}
+    types = {b["s"]["type"] for b in data["results"]["bindings"]}
+    assert types == {"uri"}
+    langs = {b["n"].get("xml:lang") for b in data["results"]["bindings"]}
+    assert langs == {None, "en"}
+
+
+def test_post_sparql_query_and_form(ep):
+    q = "SELECT ?o WHERE { <urn:a> <urn:p:next> ?o }"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{ep.port}/sparql",
+        data=q.encode(),
+        headers={"Content-Type": "application/sparql-query"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        data = json.load(r)
+    assert data["results"]["bindings"][0]["o"] == {"type": "uri", "value": "urn:b"}
+
+    form = urllib.parse.urlencode({"query": q}).encode()
+    req2 = urllib.request.Request(
+        f"http://127.0.0.1:{ep.port}/sparql",
+        data=form,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req2, timeout=60) as r:
+        data2 = json.load(r)
+    assert data2 == data
+
+
+def test_stored_query(ep):
+    data = _get(f"http://127.0.0.1:{ep.port}/stored/names")
+    assert len(data["results"]["bindings"]) == 2
+
+
+def test_bad_query_is_protocol_error(ep):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"http://127.0.0.1:{ep.port}/sparql?query=" + urllib.parse.quote("SELECT ("))
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        _get(f"http://127.0.0.1:{ep.port}/sparql")
+    assert e2.value.code == 400

@@ -190,6 +190,38 @@ def test_repeated_variable_in_pattern(spark):
     assert rows(out) == [("<urn:a>",)]
 
 
+@pytest.fixture(scope="module")
+def chain(spark):
+    edges = [(f"<urn:{x}>", "<urn:p:next>", f"<urn:{y}>", None)
+             for x, y in [("a", "b"), ("b", "c"), ("c", "d")]]
+    return spark.createDataFrame(edges, "subj string, pred string, obj string, ctx string")
+
+
+def test_property_path_plus_bound_source(spark, chain):
+    out = sparql_select(chain, "SELECT ?o WHERE { <urn:a> <urn:p:next>+ ?o }")
+    assert rows(out) == [("<urn:b>",), ("<urn:c>",), ("<urn:d>",)]
+
+
+def test_property_path_star_includes_self(spark, chain):
+    out = sparql_select(chain, "SELECT ?o WHERE { <urn:b> <urn:p:next>* ?o }")
+    assert rows(out) == [("<urn:b>",), ("<urn:c>",), ("<urn:d>",)]
+
+
+def test_property_path_question_one_hop(spark, chain):
+    out = sparql_select(chain, "SELECT ?o WHERE { <urn:a> <urn:p:next>? ?o }")
+    assert rows(out) == [("<urn:a>",), ("<urn:b>",)]
+
+
+def test_property_path_bound_object(spark, chain):
+    out = sparql_select(chain, "SELECT ?s WHERE { ?s <urn:p:next>+ <urn:d> }")
+    assert rows(out) == [("<urn:a>",), ("<urn:b>",), ("<urn:c>",)]
+
+
+def test_property_path_var_var(spark, chain):
+    out = sparql_select(chain, "SELECT ?s ?o WHERE { ?s <urn:p:next>+ ?o }")
+    assert len(rows(out)) == 6  # full closure of the 4-chain
+
+
 def test_xsd_cast_and_order_expr(spark, g):
     out = sparql_select(g, PREFIXES + """
         SELECT ?s (xsd:integer(?age) AS ?n) WHERE { ?s ex:age ?age }

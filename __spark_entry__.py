@@ -428,6 +428,18 @@ def q_sparql_optional_values(spark, sf_dir):
     """)
 
 
+def q_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT through the parser -> multi_projection templates
+    (the reference's RDF-export query form, HalyardExport.java:473-539)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        CONSTRUCT { ?c <urn:p:label> ?n }
+        WHERE { ?c p:name ?n . ?c p:mktsegment "MACHINERY" }
+    """)
+
+
 def q_fulltext_scan(spark, sf_dir):
     """Full-text search scan (`halyard:search` analog, HBaseSail.java:612-683):
     term/phrase conjunction over literal objects, compiled to pushable
@@ -815,6 +827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_bgp_group": q_sparql_bgp_group,
     "sparql_filter_order": q_sparql_filter_order,
     "sparql_optional_values": q_sparql_optional_values,
+    "sparql_construct": q_sparql_construct,
     "fulltext_scan": q_fulltext_scan,
     "kg_void_stats": q_kg_void_stats,
     "summary_log2": q_summary_log2,
@@ -1185,6 +1198,11 @@ ORACLES: dict[str, str] = {
                '"' || r_name || '"' AS region_name
         FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
         WHERE n_regionkey IN (0, 1)
+    """,
+    "sparql_construct": """
+        SELECT DISTINCT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               '<urn:p:label>' AS pred, '"' || c_name || '"' AS obj
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
     """,
     "fulltext_scan": """
         SELECT subj, pred, obj FROM ({triples}) t

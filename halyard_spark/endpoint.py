@@ -53,6 +53,8 @@ def binding_json(value) -> dict | None:
 
 def results_json(df: DataFrame, limit: int = 10000) -> dict:
     cols = df.columns
+    if cols == ["ask"]:  # ASK answers use the boolean result form
+        return {"head": {}, "boolean": bool(df.collect()[0]["ask"])}
     bindings = []
     for row in df.limit(limit).collect():
         b = {}

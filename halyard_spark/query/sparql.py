@@ -54,7 +54,8 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "select", "distinct", "reduced", "where", "prefix", "base", "as",
+    "select", "construct", "ask", "describe",
+    "distinct", "reduced", "where", "prefix", "base", "as",
     "optional", "union", "minus", "filter", "bind", "values", "undef",
     "group", "by", "having", "order", "asc", "desc", "limit", "offset",
     "exists", "not", "in", "a", "true", "false",
@@ -90,10 +91,13 @@ def tokenize(q: str) -> list[_Tok]:
 
 @dataclass
 class Query:
+    form: str = "select"  # select | construct | ask | describe
     distinct: bool = False
     reduced: bool = False
     select_all: bool = False
     projections: list = field(default_factory=list)  # (alias, expr_ast|None)
+    template: list = field(default_factory=list)  # CONSTRUCT triples
+    describe_terms: list = field(default_factory=list)
     where: list = field(default_factory=list)
     group_by: list = field(default_factory=list)
     having: list = field(default_factory=list)
@@ -143,31 +147,44 @@ class _Parser:
             else:
                 break
         q = Query()
-        self.expect("KW", "select")
-        if self.accept("KW", "distinct"):
-            q.distinct = True
-        elif self.accept("KW", "reduced"):
-            q.reduced = True
-        if self.accept("OP", "*"):
-            q.select_all = True
-        else:
-            while True:
-                t = self.peek()
-                if t.kind == "VAR":
-                    self.next()
-                    q.projections.append((t.value[1:], None))
-                elif t.kind == "OP" and t.value == "(":
-                    self.next()
-                    e = self.parse_expr()
-                    self.expect("KW", "as")
-                    v = self.expect("VAR").value[1:]
-                    self.expect("OP", ")")
-                    q.projections.append((v, e))
-                else:
-                    break
+        head = self.next()
+        if head.kind != "KW" or head.value not in ("select", "construct", "ask", "describe"):
+            raise SyntaxError(f"SPARQL: expected a query form, got {head.value!r}")
+        q.form = head.value
+        if q.form == "select":
+            if self.accept("KW", "distinct"):
+                q.distinct = True
+            elif self.accept("KW", "reduced"):
+                q.reduced = True
+            if self.accept("OP", "*"):
+                q.select_all = True
+            else:
+                while True:
+                    t = self.peek()
+                    if t.kind == "VAR":
+                        self.next()
+                        q.projections.append((t.value[1:], None))
+                    elif t.kind == "OP" and t.value == "(":
+                        self.next()
+                        e = self.parse_expr()
+                        self.expect("KW", "as")
+                        v = self.expect("VAR").value[1:]
+                        self.expect("OP", ")")
+                        q.projections.append((v, e))
+                    else:
+                        break
+        elif q.form == "construct":
+            q.template = self.parse_group()
+            for el in q.template:
+                if el[0] != "triple":
+                    raise SyntaxError("SPARQL: CONSTRUCT template must contain only triples")
+        elif q.form == "describe":
+            while self.peek().kind in ("IRI", "PNAME", "VAR"):
+                q.describe_terms.append(self.parse_term())
         if self.accept("KW", "where"):
-            pass
-        q.where = self.parse_group()
+            q.where = self.parse_group()
+        elif self.peek().kind == "OP" and self.peek().value == "{":
+            q.where = self.parse_group()
         while True:
             if self.accept("KW", "group"):
                 self.expect("KW", "by")
@@ -863,14 +880,59 @@ def _contains_agg(e) -> bool:
     return any(_contains_agg(x) for x in e[1:] if isinstance(x, (tuple, list)))
 
 
-def sparql_select(triples: DataFrame, query: str, base: str | None = None) -> DataFrame:
-    """Parse + plan a SPARQL SELECT query over a triples DataFrame
-    (subj, pred, obj [, ctx] in N-Triples lexical form).  Returns a
-    DataFrame whose columns are the projected variable names."""
+def sparql_query(triples: DataFrame, query: str, base: str | None = None) -> DataFrame:
+    """Parse + plan a SPARQL query over a triples DataFrame (subj, pred,
+    obj [, ctx] in N-Triples lexical form).  SELECT returns variable-named
+    columns; CONSTRUCT/DESCRIBE return (subj, pred, obj) rows; ASK returns
+    one boolean `ask` row — the four query forms of the reference's export
+    path (tools/.../HalyardExport.java:473-539)."""
     parser = _Parser(tokenize(query), base=base)
     q = parser.parse()
     planner = _Planner(triples, parser)
+
+    if q.form == "ask":
+        df = planner.eval_group(q.where)
+        return df.limit(1).select(F.lit(1).alias("one")).agg((F.count("one") > 0).alias("ask"))
+
+    if q.form == "describe":
+        spark = triples.sparkSession
+        const_nodes = [_Parser.term_lexical(t) for t in q.describe_terms if t[0] != "var"]
+        nodes = (
+            spark.createDataFrame([(n,) for n in const_nodes], "node string")
+            if const_nodes
+            else None
+        )
+        if q.where:
+            bound = planner.eval_group(q.where)
+            for t in q.describe_terms:
+                if t[0] == "var":
+                    sub = bound.select(F.col(t[1]).alias("node")).distinct()
+                    nodes = sub if nodes is None else nodes.union(sub).distinct()
+        if nodes is None:
+            raise ValueError("SPARQL: DESCRIBE needs at least one term")
+        own = triples.join(F.broadcast(nodes), triples["subj"] == nodes["node"], "left_semi")
+        # one-hop closure over the described resources' IRI objects
+        # (join-pattern DescribeOperator form, HTEE:371-373)
+        hops = own.select(F.col("obj").alias("node")).where(F.col("node").startswith("<")).distinct()
+        hop = triples.join(F.broadcast(hops), triples["subj"] == hops["node"], "left_semi")
+        return own.select("subj", "pred", "obj").unionByName(
+            hop.select("subj", "pred", "obj")
+        ).dropDuplicates()
+
     df = planner.eval_group(q.where)
+
+    if q.form == "construct":
+        def col_of(term):
+            return F.col(term[1]) if term[0] == "var" else F.lit(_Parser.term_lexical(term))
+
+        templates = [
+            {"subj": col_of(s), "pred": col_of(p), "obj": col_of(o)}
+            for _, s, p, o in q.template
+        ]
+        out = A.multi_projection(df, templates)
+        if q.offset or q.limit is not None:
+            out = A.slice_rows(out, offset=q.offset, limit=q.limit)
+        return out
 
     aggregated = bool(q.group_by) or any(
         e is not None and _contains_agg(e) for _, e in q.projections
@@ -943,3 +1005,8 @@ def sparql_select(triples: DataFrame, query: str, base: str | None = None) -> Da
     if q.offset or q.limit is not None:
         df = A.slice_rows(df, offset=q.offset, limit=q.limit)
     return df
+
+
+# SELECT was the original public name; all four forms run through
+# sparql_query, and the alias keeps existing callers working.
+sparql_select = sparql_query

@@ -96,3 +96,42 @@ def test_stats_rdf_emits_void_quads(spark):
     assert ("<urn:graph:g1>", f"<{ST.VOID}triples>", one) in got
     assert (ST.DEFAULT_GRAPH_IRI, f"<{ST.VOID}distinctObjects>", one) in got
     assert {r["ctx"] for r in out.collect()} == {ST.STATS_GRAPH}
+
+
+def test_es_index_sink_bulk_bodies(spark, tmp_path):
+    """The ES sink emits well-formed _bulk ND-JSON with content-derived
+    ids, deduped across identical literals (transport injected)."""
+    import glob
+    import hashlib
+    import json as _json
+    import os
+    import uuid
+
+    from halyard_spark.sources.es_index import build_index_docs, bulk_index
+
+    rows = [
+        ("<urn:a>", "<urn:p>", nt.lit("hello world"), None),
+        ("<urn:b>", "<urn:p>", nt.lit("hello world"), None),  # dup literal
+        ("<urn:c>", "<urn:p>", nt.lit("other"), None),
+        ("<urn:c>", "<urn:q>", "<urn:d>", None),  # IRI: not indexed
+    ]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+
+    out_dir = str(tmp_path / "bulk")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def transport(body: str) -> None:
+        with open(os.path.join(out_dir, f"{uuid.uuid4().hex}.ndjson"), "w") as f:
+            f.write(body)
+
+    bulk_index(g, transport, batch_docs=1)
+    lines = []
+    for fn in glob.glob(f"{out_dir}/*.ndjson"):
+        lines.extend(l for l in open(fn).read().splitlines() if l)
+    actions = [_json.loads(l) for l in lines[0::2]]
+    docs = [_json.loads(l) for l in lines[1::2]]
+    labels = sorted(d["l"] for d in docs)
+    assert labels == ["hello world", "other"]  # deduped, IRIs excluded
+    expect_id = hashlib.sha1(nt.lit("hello world").encode()).hexdigest()
+    assert {a["index"]["_id"] for a in actions} >= {expect_id}
+    assert build_index_docs(g).count() == 2

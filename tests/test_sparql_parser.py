@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from halyard_spark import nt
-from halyard_spark.query.sparql import sparql_select
+from halyard_spark.query.sparql import sparql_query, sparql_select
 
 EX = "http://example.org/"
 
@@ -220,6 +220,37 @@ def test_property_path_bound_object(spark, chain):
 def test_property_path_var_var(spark, chain):
     out = sparql_select(chain, "SELECT ?s ?o WHERE { ?s <urn:p:next>+ ?o }")
     assert len(rows(out)) == 6  # full closure of the 4-chain
+
+
+def test_construct_templates(spark, g):
+    out = sparql_query(g, PREFIXES + """
+        CONSTRUCT { ?s ex:label ?name . ?s a ex:Named }
+        WHERE { ?s ex:name ?name }""")
+    got = {tuple(r) for r in out.collect()}
+    assert (nt.iri(EX + "alice"), nt.iri(EX + "label"), nt.lit("Alice")) in got
+    assert (nt.iri(EX + "carol"), nt.iri(nt.RDF + "type"), nt.iri(EX + "Named")) in got
+    assert len(got) == 6  # 3 subjects x 2 templates
+
+
+def test_ask(spark, g):
+    yes = sparql_query(g, PREFIXES + "ASK { ?s ex:knows ?o }").collect()
+    assert yes[0]["ask"] is True
+    no = sparql_query(g, PREFIXES + "ASK { ?s ex:hates ?o }").collect()
+    assert no[0]["ask"] is False
+
+
+def test_describe_iri(spark, g):
+    out = sparql_query(g, PREFIXES + "DESCRIBE ex:alice")
+    got = {tuple(r) for r in out.collect()}
+    # alice's 5 triples + one-hop subject triples of its IRI objects (bob's 3)
+    assert len(got) == 8
+    assert (nt.iri(EX + "bob"), nt.iri(EX + "age"), nt.lit("25", dtype=nt.XSD + "integer")) in got
+
+
+def test_describe_var_with_where(spark, g):
+    out = sparql_query(g, PREFIXES + "DESCRIBE ?s WHERE { ?s ex:age ?a . FILTER(?a > 26) }")
+    subjects = {r["subj"] for r in out.collect()}
+    assert nt.iri(EX + "alice") in subjects
 
 
 def test_xsd_cast_and_order_expr(spark, g):

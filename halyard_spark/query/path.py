@@ -35,21 +35,26 @@ def transitive_closure(
         )
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     closure = edges
+    prev_n = closure.count()
     for _ in range(max_iter):
         # path DOUBLING: join the closure with itself, so reachable path
         # length doubles per round — log2(diameter) rounds instead of the
         # reference's row-at-a-time PathIteration (or a 1-hop BFS that
-        # needs diameter rounds: a 50-node chain = 49 sequential shuffles)
+        # needs diameter rounds: a 50-node chain = 49 sequential shuffles).
+        # Convergence by count: union+distinct+count is ONE job per round
+        # (the count materializes the lazy checkpoint); a separate
+        # anti-join "new edges" test costs an extra shuffle + action.
         stepped = (
             closure.withColumnRenamed("dst", "mid")
             .join(closure.withColumnRenamed("src", "mid"), "mid")
             .select("src", "dst")
-            .distinct()
         )
-        new = stepped.join(closure, ["src", "dst"], "left_anti").localCheckpoint(eager=False)
-        if new.count() == 0:  # the count action materializes the checkpoint
+        nxt = closure.union(stepped).distinct().localCheckpoint(eager=False)
+        n = nxt.count()
+        closure = nxt
+        if n == prev_n:
             break
-        closure = closure.union(new).localCheckpoint(eager=True)
+        prev_n = n
     if min_length == 0:
         nodes = edges.select(F.col("src").alias("n")).union(edges.select(F.col("dst").alias("n"))).distinct()
         identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from halyard_spark import nt
 from halyard_spark.query import algebra as A
 from halyard_spark.query import exprs as E
+from halyard_spark.query import fulltext as FT
 
 # ---------------------------------------------------------------- tokens
 
@@ -59,6 +60,7 @@ _KEYWORDS = {
     "optional", "union", "minus", "filter", "bind", "values", "undef",
     "group", "by", "having", "order", "asc", "desc", "limit", "offset",
     "exists", "not", "in", "a", "true", "false",
+    "insert", "delete", "data",
 }
 
 
@@ -576,6 +578,11 @@ class _Planner:
                 else:
                     seen_vars[v] = pos
                     out_cols.append(F.col(pos).alias(v))
+            elif pos == "obj" and term[0] == "lit" and term[3] == FT.SEARCH_DATATYPE:
+                # the reference's magic full-text literal: an object typed
+                # halyard:search triggers the search scan instead of an
+                # equality filter (HBaseSail.java:392-398,612-683)
+                df = df.filter(FT.match_condition(F.col("obj"), term[1]))
             else:
                 df = df.filter(F.col(pos) == _Parser.term_lexical(term))
         for cond in eq_filters:
@@ -1010,3 +1017,119 @@ def sparql_query(triples: DataFrame, query: str, base: str | None = None) -> Dat
 # SELECT was the original public name; all four forms run through
 # sparql_query, and the alias keeps existing callers working.
 sparql_select = sparql_query
+
+
+# ------------------------------------------------------------- updates
+
+def _parse_update_ops(parser: _Parser) -> list:
+    """UPDATE grammar subset: INSERT DATA / DELETE DATA / DELETE WHERE /
+    [DELETE {t}] [INSERT {t}] WHERE {g}, ';'-separated into STAGES —
+    matching the reference's one-MR-job-per-UpdateExpr staging
+    (tools/.../HalyardBulkUpdate.java:252-288)."""
+    while True:
+        if parser.accept("KW", "prefix"):
+            pname = parser.expect("PNAME").value
+            iri = parser.expect("IRI").value
+            parser.prefixes[pname.rstrip(":")] = iri[1:-1]
+        elif parser.accept("KW", "base"):
+            parser.base = parser.expect("IRI").value[1:-1]
+        else:
+            break
+    ops = []
+    while parser.peek().kind != "EOF":
+        head = parser.next()
+        if head.kind != "KW" or head.value not in ("insert", "delete"):
+            raise SyntaxError(f"SPARQL UPDATE: expected INSERT/DELETE, got {head.value!r}")
+        if parser.accept("KW", "data"):
+            tpl = _only_triples(parser.parse_group())
+            ops.append(("insert_data" if head.value == "insert" else "delete_data", tpl))
+        elif head.value == "delete" and parser.peek().kind == "KW" and parser.peek().value == "where":
+            parser.next()
+            tpl = _only_triples(parser.parse_group())
+            ops.append(("modify", tpl, None, tpl))
+        else:
+            delete_tpl = insert_tpl = None
+            if head.value == "delete":
+                delete_tpl = _only_triples(parser.parse_group())
+                if parser.accept("KW", "insert"):
+                    insert_tpl = _only_triples(parser.parse_group())
+            else:
+                insert_tpl = _only_triples(parser.parse_group())
+            parser.expect("KW", "where")
+            where = parser.parse_group()
+            ops.append(("modify", delete_tpl, insert_tpl, where))
+        parser.accept("OP", ";")
+    return ops
+
+
+def _only_triples(elems: list) -> list:
+    for el in elems:
+        if el[0] != "triple":
+            raise SyntaxError("SPARQL UPDATE: templates must contain only triples")
+    return elems
+
+
+def _instantiate(bound: DataFrame, template: list) -> DataFrame:
+    def c(term):
+        return F.col(term[1]) if term[0] == "var" else F.lit(_Parser.term_lexical(term))
+
+    parts = [
+        bound.select(
+            c(s).alias("subj"), c(p).alias("pred"), c(o).alias("obj"),
+            F.lit(None).cast("string").alias("ctx"),
+        )
+        for _, s, p, o in template
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> DataFrame:
+    """Apply a SPARQL UPDATE string to a quad DataFrame and return the
+    post-update snapshot.  Each ';'-separated operation is one STAGE with
+    snapshot isolation (pipeline/update.bulk_update — every effect inside
+    a stage is computed against the pre-stage snapshot, the reference's
+    per-stage MR semantics).  Graph management (GRAPH/WITH) is not
+    supported; template triples land in the default graph (ctx NULL)."""
+    from halyard_spark.pipeline.update import bulk_update
+
+    parser = _Parser(tokenize(update), base=base)
+    ops = _parse_update_ops(parser)
+    spark = triples.sparkSession
+
+    def ground_df(template: list) -> DataFrame:
+        rows = []
+        for _, s, p, o in template:
+            if "var" in (s[0], p[0], o[0]):
+                raise SyntaxError("SPARQL UPDATE: DATA blocks must be ground (no variables)")
+            rows.append(
+                (_Parser.term_lexical(s), _Parser.term_lexical(p), _Parser.term_lexical(o), None)
+            )
+        return spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+
+    stages = []
+    for op in ops:
+        def make_stage(op=op):
+            def stage(snapshot: DataFrame):
+                if op[0] == "insert_data":
+                    return None, ground_df(op[1])
+                if op[0] == "delete_data":
+                    return ground_df(op[1]), None
+                _, delete_tpl, insert_tpl, where = op
+                bound = _Planner(snapshot, parser).eval_group(where)
+                dels = None
+                if delete_tpl:
+                    # resolve the ACTUAL quads (any graph) matching the
+                    # instantiated delete triples — a template carries no
+                    # ctx, but the store's matched statement does
+                    tpl = _instantiate(bound, delete_tpl).select("subj", "pred", "obj").distinct()
+                    dels = snapshot.join(tpl, ["subj", "pred", "obj"], "left_semi")
+                ins = _instantiate(bound, insert_tpl) if insert_tpl else None
+                return dels, ins
+
+            return stage
+
+        stages.append(make_stage())
+    return bulk_update(triples, stages)

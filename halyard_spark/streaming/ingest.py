@@ -73,3 +73,17 @@ def stream_triple_ingest(spark: SparkSession, src_stream: DataFrame, out_dir: st
 
     q = src_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def stream_ndjsonld_ingest(spark: SparkSession, lines_stream: DataFrame, out_dir: str) -> None:
+    """Streaming RDF ingestion of newline-delimited JSON-LD: each
+    micro-batch of lines is parsed (sources/rio.ndjsonld_to_triples) and
+    appended as quads — the streaming counterpart of the reference's
+    NDJSONLDParser bulk-load input (rio/.../NDJSONLDParser.java:38-75)."""
+    from halyard_spark.sources.rio import ndjsonld_to_triples
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        ndjsonld_to_triples(batch_df).write.mode("append").parquet(f"{out_dir}/triples_stream")
+
+    q = lines_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()

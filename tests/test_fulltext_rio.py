@@ -40,6 +40,18 @@ def test_search_literals_batch(spark):
     assert got == {("q1", "<urn:d1>"), ("q1", "<urn:d2>"), ("q2", "<urn:d3>")}
 
 
+def test_fulltext_magic_literal_in_sparql(spark):
+    """An object literal typed halyard-spark:search inside a SPARQL triple
+    pattern triggers the fulltext scan (HBaseSail.java:392-398 datatype
+    dispatch), not an equality filter."""
+    from halyard_spark.query.sparql import sparql_query
+
+    g = _g(spark)
+    out = sparql_query(g, f"""
+        SELECT ?s WHERE {{ ?s <urn:p:title> "quick fox"^^<{nt.NS}search> }}""")
+    assert {r["s"] for r in out.collect()} == {"<urn:d1>", "<urn:d2>"}
+
+
 def test_ndjsonld_reader(spark):
     lines = [
         '{"@context": {"ex": "http://ex.org/", "name": "http://ex.org/name"},'

@@ -259,3 +259,49 @@ def test_xsd_cast_and_order_expr(spark, g):
         ORDER BY DESC(xsd:integer(?age))""")
     got = [r["n"] for r in out.collect()]
     assert got == [30, 25]
+
+
+def test_sparql_update_data_and_modify(spark):
+    from halyard_spark.query.sparql import sparql_update
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p:st>", nt.lit("old"), "<urn:g1>")],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_update(g, """
+        INSERT DATA { <urn:b> <urn:p:st> "fresh" } ;
+        DELETE { ?s <urn:p:st> "old" } INSERT { ?s <urn:p:st> "renewed" }
+        WHERE { ?s <urn:p:st> "old" }
+    """)
+    got = {(r["subj"], r["obj"]) for r in out.collect()}
+    assert got == {("<urn:b>", nt.lit("fresh")), ("<urn:a>", nt.lit("renewed"))}
+
+
+def test_sparql_update_delete_where_and_stage_isolation(spark):
+    from halyard_spark.query.sparql import sparql_update
+
+    g = spark.createDataFrame(
+        [
+            ("<urn:a>", "<urn:p>", nt.lit("1"), None),
+            ("<urn:b>", "<urn:p>", nt.lit("2"), None),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    # stage 1 rewrites 1->9; stage 2 deletes what stage 1 PRODUCED —
+    # snapshot isolation means stage 2 sees stage 1's committed result
+    out = sparql_update(g, """
+        DELETE { ?s <urn:p> "1" } INSERT { ?s <urn:p> "9" } WHERE { ?s <urn:p> "1" } ;
+        DELETE WHERE { ?s <urn:p> "9" }
+    """)
+    got = {(r["subj"], r["obj"]) for r in out.collect()}
+    assert got == {("<urn:b>", nt.lit("2"))}
+
+
+def test_sparql_update_ground_only_data(spark):
+    import pytest as _pytest
+
+    from halyard_spark.query.sparql import sparql_update
+
+    g = spark.createDataFrame([], "subj string, pred string, obj string, ctx string")
+    with _pytest.raises(SyntaxError):
+        sparql_update(g, 'INSERT DATA { ?s <urn:p> "x" }')

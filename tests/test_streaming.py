@@ -41,3 +41,26 @@ def test_quads_identical_across_input_parallelism(spark, tmp_path):
     qa = {tuple(r) for r in spark.read.parquet(f"{out_a}/store/spo").collect()}
     qb = {tuple(r) for r in spark.read.parquet(f"{out_b}/store/spo").collect()}
     assert qa == qb
+
+
+def test_stream_ndjsonld_ingest_equals_batch(spark, tmp_path):
+    """Streaming ND-JSON-LD ingest == batch parse of the same lines."""
+    from halyard_spark.sources.rio import ndjsonld_to_triples
+    from halyard_spark.streaming.ingest import stream_ndjsonld_ingest
+
+    src_dir = str(tmp_path / "lines")
+    out = str(tmp_path / "out")
+    lines = [
+        '{"@id": "urn:a", "urn:p:name": "Ada", "@type": "urn:T"}',
+        '{"@id": "urn:b", "urn:p:ref": {"@id": "urn:a"}}',
+        "garbage line",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    df.coalesce(1).write.mode("overwrite").text(src_dir)
+
+    stream = spark.readStream.schema("value string").text(src_dir)
+    stream_ndjsonld_ingest(spark, stream, out)
+
+    streamed = {tuple(r) for r in spark.read.parquet(f"{out}/triples_stream").collect()}
+    batch = {tuple(r) for r in ndjsonld_to_triples(spark.read.text(src_dir)).collect()}
+    assert streamed == batch and len(batch) == 3

@@ -335,12 +335,11 @@ def main() -> None:
         # 32-core host, python-UDF stages run a JVM feeder thread + python
         # worker per task slot, so local[32] can oversubscribe 2x under
         # memory pressure; report both, headline = best single-node config
-        pipe_full = run_pipeline_subprocess(CPUS, f"{tmp}/full", BENCH_FILES // 2, 10)
-        # local[16] = 16 JVM task threads + 16 python workers = exactly 32
-        # cores: the measured sweet spot on this host (local[32] runs 64
-        # threads and intermittently degrades into kernel storms)
+        pipe_full = run_pipeline_subprocess(CPUS, f"{tmp}/full", BENCH_FILES, BENCH_SCALE)
+        # local[16] for comparison: with the round-2 tail restructure the
+        # full width wins; earlier builds collapsed at 32 (see BENCH notes)
         pipe_16 = (
-            run_pipeline_subprocess(16, f"{tmp}/p16", BENCH_FILES // 2, 10)
+            run_pipeline_subprocess(16, f"{tmp}/p16", BENCH_FILES, BENCH_SCALE)
             if CPUS != 16
             else pipe_full
         )

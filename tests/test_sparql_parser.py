@@ -305,3 +305,61 @@ def test_sparql_update_ground_only_data(spark):
     g = spark.createDataFrame([], "subj string, pred string, obj string, ctx string")
     with _pytest.raises(SyntaxError):
         sparql_update(g, 'INSERT DATA { ?s <urn:p> "x" }')
+
+
+def test_strbefore_strafter_encode(spark, g):
+    out = sparql_query(g, PREFIXES + """
+        SELECT ?name (STRBEFORE(?name, "li") AS ?b) (STRAFTER(?name, "li") AS ?a)
+               (ENCODE_FOR_URI(CONCAT(?name, " & co")) AS ?enc)
+        WHERE { ex:alice ex:name ?name }""")
+    r = out.collect()[0]
+    assert r["b"] == "A" and r["a"] == "ce"
+    assert "%20%26%20" in r["enc"] or "+%26+" in r["enc"]  # space/& encoded
+
+
+def test_in_not_in_and_coalesce(spark, g):
+    out = sparql_query(g, PREFIXES + """
+        SELECT ?s WHERE { ?s ex:name ?n . FILTER (?n IN ("Alice", "Bob")) }""")
+    assert len(rows(out)) == 2
+    out2 = sparql_query(g, PREFIXES + """
+        SELECT ?s (COALESCE(?friend, ?s) AS ?c) WHERE {
+          ?s ex:type ex:Person . OPTIONAL { ?s ex:knows ?friend }
+        }""")
+    got = dict(rows(out2))
+    assert got[nt.iri(EX + "bob")] == nt.iri(EX + "bob")  # unbound -> fallback
+    assert got[nt.iri(EX + "alice")] == nt.iri(EX + "bob")
+
+
+def test_datetime_accessors_and_uuid(spark):
+    g2 = spark.createDataFrame(
+        [("<urn:e>", "<urn:p:at>", nt.lit("2024-03-05 06:07:08"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_query(g2, """
+        SELECT (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+               (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+               (STRUUID() AS ?u1) (STRUUID() AS ?u2)
+        WHERE { ?e <urn:p:at> ?t }""")
+    r = out.collect()[0]
+    assert (r["y"], r["mo"], r["d"], r["h"], r["mi"], r["sec"]) == (2024, 3, 5, 6, 7, 8)
+    assert len(r["u1"]) == 36 and r["u1"] != r["u2"]
+
+
+def test_nested_groups_and_comments(spark, g):
+    out = sparql_query(g, PREFIXES + """
+        # leading comment
+        SELECT ?s WHERE {
+          { ?s ex:type ex:Person }   # inline comment
+          { ?s ex:knows ?o }
+        }""")
+    assert rows(out) == [(nt.iri(EX + "alice"),)]
+
+
+def test_bnode_function_is_deterministic(spark, g):
+    out = sparql_query(g, PREFIXES + """
+        SELECT ?s (BNODE(STR(?s)) AS ?b) WHERE { ?s ex:type ex:Person }""")
+    a = dict(rows(out))
+    b = dict(rows(sparql_query(g, PREFIXES + """
+        SELECT ?s (BNODE(STR(?s)) AS ?b) WHERE { ?s ex:type ex:Person }""")))
+    assert a == b  # seeded skolemization: stable across evaluations
+    assert all(v.startswith("_:") for v in a.values())

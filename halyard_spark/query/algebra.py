@@ -74,8 +74,36 @@ def union_bag(left: DataFrame, right: DataFrame) -> DataFrame:
 
 def values_table(spark, rows: list[tuple], schema: str) -> DataFrame:
     """BindingSetAssignment (VALUES): inline table (HTEE:1106-1145);
-    merging with incoming bindings is the subsequent bgp_join."""
+    merging with incoming bindings is values_join."""
     return spark.createDataFrame(rows, schema)
+
+
+def values_join(left: DataFrame, vals: DataFrame) -> DataFrame:
+    """Merge a VALUES table into a solution set with SPARQL compatibility
+    semantics (HTEE:1106-1145 -> BindingSetAssignment): two solutions are
+    compatible when every SHARED variable bound in BOTH agrees — an UNDEF
+    cell (NULL on the VALUES side) or an unbound left column constrains
+    nothing, and the merged row takes whichever side is bound.  A plain
+    null-unsafe equi-join would silently drop UNDEF rows instead."""
+    shared = [c for c in vals.columns if c in set(left.columns)]
+    if not shared:
+        return left.crossJoin(vals)
+    renamed = vals
+    for c in shared:
+        renamed = renamed.withColumnRenamed(c, f"__values_{c}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            renamed[f"__values_{c}"].isNull()
+            | left[c].isNull()
+            | (renamed[f"__values_{c}"] == left[c])
+            for c in shared
+        ],
+    )
+    out = left.join(renamed, on=cond, how="inner")
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(left[c], renamed[f"__values_{c}"]))
+    return out.drop(*[f"__values_{c}" for c in shared])
 
 
 def distinct(df: DataFrame) -> DataFrame:

@@ -18,10 +18,17 @@ def transitive_closure(
     edges: DataFrame,
     min_length: int = 1,
     max_iter: int = 64,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> all (src, dst) pairs connected by a directed
     path of length >= min_length (min_length=0 adds the identity pairs,
     i.e. ZeroLengthPath semantics, HTEE:1046-1065).
+
+    ``nodes`` (one column ``n``): the identity-pair domain for
+    min_length=0.  W3C ZeroLengthPath matches every term IN THE GRAPH,
+    not just nodes adjacent to this path's predicate — pass the store's
+    term set for spec semantics; default (None) falls back to the edge
+    endpoints.
 
     Only min_length in {0, 1} is supported here (the SPARQL 1.1 ``p*`` /
     ``p+`` forms); for a bound-source query or min_length >= 2, use
@@ -56,8 +63,11 @@ def transitive_closure(
             break
         prev_n = n
     if min_length == 0:
-        nodes = edges.select(F.col("src").alias("n")).union(edges.select(F.col("dst").alias("n"))).distinct()
-        identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        if nodes is None:
+            nodes = edges.select(F.col("src").alias("n")).union(
+                edges.select(F.col("dst").alias("n"))
+            )
+        identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")).distinct()
         closure = closure.union(identity).distinct()
     return closure
 
@@ -124,8 +134,12 @@ def reachable_from(
     return pairs
 
 
-def zero_or_one_path(edges: DataFrame) -> DataFrame:
-    """``p?`` — identity union one hop (HTEE ZeroLengthPath :1046-1065)."""
-    nodes = edges.select(F.col("src").alias("n")).union(edges.select(F.col("dst").alias("n"))).distinct()
-    identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+def zero_or_one_path(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """``p?`` — identity union one hop (HTEE ZeroLengthPath :1046-1065).
+    ``nodes`` (one column ``n``) is the identity domain; pass the store's
+    full term set for W3C semantics (zero-length matches every graph
+    term), default falls back to this path's edge endpoints."""
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("n")).union(edges.select(F.col("dst").alias("n")))
+    identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")).distinct()
     return identity.union(edges.select("src", "dst")).distinct()

@@ -40,6 +40,10 @@ from halyard_spark.query import fulltext as FT
 
 # ---------------------------------------------------------------- tokens
 
+# PN_LOCAL may contain but not END with '.' (SPARQL 1.1 §19.8) — a greedy
+# trailing dot would swallow the triple terminator ('foaf:Person. }').
+# Same for NUM: '42.' is INTEGER '42' followed by the '.' terminator
+# (DECIMAL requires digits after the dot; '1.e3' is a valid DOUBLE).
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
@@ -47,9 +51,10 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-  | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|[A-Za-z_][A-Za-z0-9_\-]*:?)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!*/+\-?])
+  | (?P<NUM>[+-]?(?:\d+\.\d+|\d+\.(?=[eE])|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?
+             |[A-Za-z_][A-Za-z0-9_\-]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!*/+\-?^|])
     """,
     re.VERBOSE,
 )
@@ -60,7 +65,8 @@ _KEYWORDS = {
     "optional", "union", "minus", "filter", "bind", "values", "undef",
     "group", "by", "having", "order", "asc", "desc", "limit", "offset",
     "exists", "not", "in", "a", "true", "false",
-    "insert", "delete", "data",
+    "insert", "delete", "data", "with",
+    "graph", "service", "silent",
 }
 
 
@@ -148,6 +154,12 @@ class _Parser:
                 self.base = self.expect("IRI").value[1:-1]
             else:
                 break
+        return self.parse_query_body()
+
+    def parse_query_body(self) -> Query:
+        """Query form + WHERE + solution modifiers.  Also the subquery
+        entry point: a nested `{ SELECT ... }` stops at the closing '}'
+        (projection scoping per HalyardTupleExprEvaluation.java:256-285)."""
         q = Query()
         head = self.next()
         if head.kind != "KW" or head.value not in ("select", "construct", "ask", "describe"):
@@ -221,7 +233,9 @@ class _Parser:
                 q.limit = int(self.expect("NUM").value)
             elif self.accept("KW", "offset"):
                 q.offset = int(self.expect("NUM").value)
-            elif self.peek().kind == "EOF":
+            elif self.peek().kind == "EOF" or (
+                self.peek().kind == "OP" and self.peek().value == "}"
+            ):
                 break
             else:
                 raise SyntaxError(f"SPARQL: unexpected {self.peek().value!r} after WHERE")
@@ -253,16 +267,51 @@ class _Parser:
             elif t.kind == "KW" and t.value == "values":
                 self.next()
                 elems.append(self.parse_values())
+            elif t.kind == "KW" and t.value == "graph":
+                # GRAPH VarOrIri GroupGraphPattern — named-graph scope over
+                # the store's ctx column (quads are first-class in the
+                # reference: 6 index permutations,
+                # common/.../HalyardTableUtils.java:267,282-287)
+                self.next()
+                g_term = self.parse_term()
+                if g_term[0] not in ("var", "iri"):
+                    raise SyntaxError("SPARQL: GRAPH needs a variable or IRI")
+                elems.append(("graph", g_term, self.parse_group()))
+            elif t.kind == "KW" and t.value == "service":
+                # SERVICE [SILENT] iri GroupGraphPattern — federated pattern
+                # against a registered second store
+                # (HalyardTupleExprEvaluation.java:630-703, resolver
+                # HBaseSail.java:196-222)
+                self.next()
+                silent = bool(self.accept("KW", "silent"))
+                svc_term = self.parse_term()
+                if svc_term[0] != "iri":
+                    raise SyntaxError("SPARQL: SERVICE endpoint must be an IRI")
+                elems.append(("service", svc_term, self.parse_group(), silent))
             elif t.kind == "OP" and t.value == "{":
-                # group (possibly a UNION chain)
-                g: tuple = ("group", self.parse_group())
+                # subquery / group (possibly a UNION chain)
+                g = self.parse_group_or_subquery()
                 while self.accept("KW", "union"):
-                    g = ("union", g, ("group", self.parse_group()))
+                    g = ("union", g, self.parse_group_or_subquery())
                 elems.append(g)
             else:
                 elems.extend(self.parse_triples_block())
             self.accept("OP", ".")
         return elems
+
+    def parse_group_or_subquery(self):
+        """`{ SELECT ... }` is a subquery (own projection scope); anything
+        else is a plain nested group."""
+        if self.peek().kind == "OP" and self.peek().value == "{" and (
+            self.peek(1).kind == "KW" and self.peek(1).value == "select"
+        ):
+            self.expect("OP", "{")
+            sub = self.parse_query_body()
+            self.expect("OP", "}")
+            if sub.form != "select":
+                raise SyntaxError("SPARQL: only SELECT subqueries are supported")
+            return ("subquery", sub)
+        return ("group", self.parse_group())
 
     def parse_filter_constraint(self):
         if self.peek().kind == "KW" and self.peek().value in ("exists", "not"):
@@ -321,17 +370,97 @@ class _Parser:
         return elems
 
     def parse_verb(self):
-        if self.peek().kind == "KW" and self.peek().value == "a":
-            self.next()
-            term = ("iri", nt.RDF + "type")
-        else:
-            term = self.parse_term()
-        # property-path modifiers p+ / p* / p? on an IRI predicate
+        """Verb position: a variable, or a SPARQL 1.1 property path.
+
+        Full path algebra (sequence / alternative / inverse / negated set /
+        closure modifiers), the shapes RDF4J's parser hands the reference's
+        evaluator (HalyardTupleExprEvaluation.java:1073-1098).  A path that
+        reduces to a single IRI is returned as a plain ('iri', ...) term so
+        the statement-pattern fast path stays unchanged.
+        """
+        if self.peek().kind == "VAR":
+            return self.parse_term()
+        path = self.parse_path()
+        if path[0] == "link":
+            return ("iri", path[1])
+        return ("pathexpr", path)
+
+    # Path grammar (SPARQL 1.1 §9.1):
+    #   Path          := PathSequence ('|' PathSequence)*
+    #   PathSequence  := PathEltOrInverse ('/' PathEltOrInverse)*
+    #   PathEltOrInv  := '^'? PathElt
+    #   PathElt       := PathPrimary ('?' | '*' | '+')?
+    #   PathPrimary   := iri | 'a' | '!' PathNegatedSet | '(' Path ')'
+    # AST: ('link', iri) | ('inv', p) | ('seq', [p..]) | ('alt', [p..])
+    #    | ('mod', p, '?'|'*'|'+') | ('nps', [fwd iris], [inv iris])
+    def parse_path(self):
+        alts = [self.parse_path_sequence()]
+        while self.accept("OP", "|"):
+            alts.append(self.parse_path_sequence())
+        return alts[0] if len(alts) == 1 else ("alt", alts)
+
+    def parse_path_sequence(self):
+        elts = [self.parse_path_elt_or_inverse()]
+        while self.accept("OP", "/"):
+            elts.append(self.parse_path_elt_or_inverse())
+        return elts[0] if len(elts) == 1 else ("seq", elts)
+
+    def parse_path_elt_or_inverse(self):
+        if self.accept("OP", "^"):
+            return ("inv", self.parse_path_elt())
+        return self.parse_path_elt()
+
+    def parse_path_elt(self):
+        p = self.parse_path_primary()
         t = self.peek()
-        if term[0] == "iri" and t.kind == "OP" and t.value in ("+", "*", "?"):
+        if t.kind == "OP" and t.value in ("+", "*", "?"):
             self.next()
-            return ("path", term[1], t.value)
-        return term
+            return ("mod", p, t.value)
+        return p
+
+    def parse_path_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.value == "(":
+            self.next()
+            p = self.parse_path()
+            self.expect("OP", ")")
+            return p
+        if t.kind == "OP" and t.value == "!":
+            self.next()
+            return self.parse_path_negated_set()
+        if t.kind == "KW" and t.value == "a":
+            self.next()
+            return ("link", nt.RDF + "type")
+        term = self.parse_term()
+        if term[0] != "iri":
+            raise SyntaxError(f"SPARQL: property path element must be an IRI, got {term[0]}")
+        return ("link", term[1])
+
+    def parse_path_negated_set(self):
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def one():
+            rev = self.accept("OP", "^")
+            if self.peek().kind == "KW" and self.peek().value == "a":
+                self.next()
+                iri = nt.RDF + "type"
+            else:
+                term = self.parse_term()
+                if term[0] != "iri":
+                    raise SyntaxError("SPARQL: negated property set members must be IRIs")
+                iri = term[1]
+            (inv if rev else fwd).append(iri)
+
+        if self.accept("OP", "("):
+            if not (self.peek().kind == "OP" and self.peek().value == ")"):
+                one()
+                while self.accept("OP", "|"):
+                    one()
+            self.expect("OP", ")")
+        else:
+            one()
+        return ("nps", fwd, inv)
 
     def parse_term(self):
         t = self.next()
@@ -503,15 +632,36 @@ _EXPR_BOOL = "bool"
 
 
 class _Planner:
-    def __init__(self, triples: DataFrame, parser: _Parser):
+    def __init__(
+        self,
+        triples: DataFrame,
+        parser: _Parser,
+        services: dict[str, DataFrame] | None = None,
+    ):
         self.triples = triples
         self.parser = parser
         self.spark = triples.sparkSession
+        self.services = services or {}
+        # graph scope: None = all graphs (the reference reads every context
+        # when no dataset is given — HBaseSail scans with no ctx bound);
+        # otherwise the GRAPH term ('iri', g) or ('var', v)
+        self.graph: tuple | None = None
+        self._fresh_n = 0
+
+    def _fresh_var(self) -> str:
+        self._fresh_n += 1
+        return f"__pathvar{self._fresh_n}"
+
+    def _unit(self) -> DataFrame:
+        """One row, zero columns — the empty solution mapping (a BIND- or
+        VALUES-first group extends it)."""
+        return self.spark.range(1).select()
 
     # -- group evaluation
     def eval_group(self, elems: list) -> DataFrame:
         df: DataFrame | None = None
         filters = []
+        values_tables = []
         for el in elems:
             kind = el[0]
             if kind == "triple":
@@ -520,9 +670,24 @@ class _Planner:
             elif kind == "group":
                 sub = self.eval_group(el[1])
                 df = sub if df is None else A.bgp_join(df, sub)
+            elif kind == "subquery":
+                sub = self.plan_select(el[1])
+                df = sub if df is None else A.bgp_join(df, sub)
             elif kind == "union":
                 sub = self.eval_union(el)
                 df = sub if df is None else A.bgp_join(df, sub)
+            elif kind == "graph":
+                prev = self.graph
+                self.graph = el[1]
+                try:
+                    sub = self.eval_group(el[2])
+                finally:
+                    self.graph = prev
+                df = sub if df is None else A.bgp_join(df, sub)
+            elif kind == "service":
+                sub = self.eval_service(el[1], el[2], el[3])
+                if sub is not None:  # None = SILENT fallback (unit solution)
+                    df = sub if df is None else A.bgp_join(df, sub)
             elif kind == "optional":
                 if df is None:
                     raise ValueError("SPARQL: OPTIONAL with no preceding pattern")
@@ -533,16 +698,19 @@ class _Planner:
                 df = A.minus(df, self.eval_group(el[1]))
             elif kind == "bind":
                 if df is None:
-                    raise ValueError("SPARQL: BIND with no preceding pattern")
+                    df = self._unit()  # { BIND(...) ... } extends the empty solution
                 col, _k = self.eval_expr(el[1], df)
                 df = df.withColumn(el[2], E.bind_safe(col))
             elif kind == "values":
-                sub = self.eval_values(el)
-                df = sub if df is None else A.bgp_join(df, sub)
+                values_tables.append(self.eval_values(el))
             elif kind == "filter":
                 filters.append(el[1])
             else:
                 raise ValueError(f"SPARQL: unhandled group element {kind}")
+        # VALUES joins at GROUP level (SPARQL algebra), after the patterns,
+        # so UNDEF rows can act as wildcards against bound columns
+        for vt in values_tables:
+            df = vt if df is None else A.values_join(df, vt)
         if df is None:
             raise ValueError("SPARQL: empty group pattern")
         for f in filters:  # FILTER scopes over the whole group
@@ -556,18 +724,57 @@ class _Planner:
     def eval_union(self, node) -> DataFrame:
         if node[0] == "group":
             return self.eval_group(node[1])
+        if node[0] == "subquery":
+            return self.plan_select(node[1])
         return A.union_bag(self.eval_union(node[1]), self.eval_union(node[2]))
+
+    def eval_service(self, term, elems: list, silent: bool) -> DataFrame | None:
+        """SERVICE [SILENT]: evaluate the group against a registered second
+        store.  SILENT converts a missing endpoint or evaluation failure
+        into the unit solution (the join proceeds unchanged) — the
+        reference's error-swallowing semantics
+        (HalyardTupleExprEvaluation.java:630-703)."""
+        store = self.services.get(term[1])
+        if store is None:
+            if silent:
+                return None
+            raise ValueError(f"SPARQL SERVICE: no registered endpoint {term[1]!r}")
+        sub_planner = _Planner(store, self.parser, services=self.services)
+        try:
+            return sub_planner.eval_group(elems)
+        except Exception:
+            if silent:
+                return None
+            raise
 
     def eval_values(self, el) -> DataFrame:
         _, vars_, rows = el
         schema = ", ".join(f"{v} string" for v in vars_)
         return A.values_table(self.spark, rows, schema)
 
-    def eval_triple(self, s, p, o) -> DataFrame:
-        if p[0] == "path":
-            return self.eval_path(s, p[1], p[2], o)
-        positions = {"subj": s, "pred": p, "obj": o}
+    def _scoped(self) -> DataFrame:
+        """The store narrowed to the current GRAPH scope.  No scope = all
+        contexts (the reference's unbound-context scan); GRAPH <g> prunes to
+        one ctx (partition pruning when the store is ctx-partitioned);
+        GRAPH ?g keeps named graphs only (ctx NOT NULL)."""
         df = self.triples
+        if self.graph is None:
+            return df
+        if "ctx" not in df.columns:
+            df = df.withColumn("ctx", F.lit(None).cast("string"))
+        if self.graph[0] == "var":
+            return df.where(F.col("ctx").isNotNull())
+        return df.where(F.col("ctx") == _Parser.term_lexical(self.graph))
+
+    def eval_triple(self, s, p, o) -> DataFrame:
+        if p[0] == "pathexpr":
+            out = self.eval_path_expr(s, p[1], o)
+            internal = [c for c in out.columns if c.startswith("__pathvar")]
+            return out.drop(*internal) if internal else out
+        positions = {"subj": s, "pred": p, "obj": o}
+        if self.graph is not None and self.graph[0] == "var":
+            positions["ctx"] = self.graph  # bind the graph variable per triple
+        df = self._scoped()
         out_cols, seen_vars = [], {}
         eq_filters = []
         for pos, term in positions.items():
@@ -589,29 +796,122 @@ class _Planner:
             df = df.filter(cond)
         return df.select(*out_cols)
 
-    def eval_path(self, s, pred_iri: str, mod: str, o) -> DataFrame:
-        """Property path p+ / p* / p? (ArbitraryLengthPath / ZeroLengthPath,
-        HalyardTupleExprEvaluation.java:1046-1098).  A bound endpoint
-        routes to the frontier-BFS reachable_from — never the whole-graph
-        closure (the reference evaluates per-binding for the same reason);
+    # -- property paths
+    def eval_path_expr(self, s, ast, o) -> DataFrame:
+        """Evaluate a path AST between two endpoint terms, returning a
+        bindings DataFrame.  Composition rewrites reuse the well-scaled
+        primitives: sequence = fresh-var join chain (a bound endpoint's
+        constant filter pushes into the first/last scan), alternative = bag
+        union, inverse = endpoint swap, negated set = NOT-IN scan; closure
+        modifiers route exactly like the round-2 operator — frontier BFS
+        from a bound endpoint, path doubling for var-var
+        (reference: RDF4J path algebra evaluated per-binding,
+        HalyardTupleExprEvaluation.java:1073-1098)."""
+        kind = ast[0]
+        if kind == "link":
+            return self.eval_triple(s, ("iri", ast[1]), o)
+        if kind == "inv":
+            return self.eval_path_expr(o, ast[1], s)
+        if kind == "seq":
+            cur = s
+            df = None
+            for i, part in enumerate(ast[1]):
+                nxt = o if i == len(ast[1]) - 1 else ("var", self._fresh_var())
+                sub = self.eval_path_expr(cur, part, nxt)
+                df = sub if df is None else A.bgp_join(df, sub)
+                cur = nxt
+            return df
+        if kind == "alt":
+            outs = [self.eval_path_expr(s, p, o) for p in ast[1]]
+            df = outs[0]
+            for other in outs[1:]:
+                df = A.union_bag(df, other)
+            return df
+        if kind == "nps":
+            return self.eval_nps(s, ast[1], ast[2], o)
+        if kind == "mod":
+            return self.eval_path_closure(s, ast[1], ast[2], o)
+        raise ValueError(f"SPARQL: unhandled path node {kind}")
+
+    def eval_nps(self, s, fwd: list[str], inv: list[str], o) -> DataFrame:
+        """Negated property set !(p1|..|^q1|..): forward edges whose
+        predicate is outside {p..}, plus inverted edges outside {q..}."""
+        def scan(subj_term, obj_term, excluded: list[str]) -> DataFrame:
+            df = self._scoped().where(
+                ~F.col("pred").isin([nt.iri(i) for i in excluded])
+                if excluded
+                else F.lit(True)
+            )
+            out_cols = []
+            for pos, term in (("subj", subj_term), ("obj", obj_term)):
+                if term[0] == "var":
+                    out_cols.append(F.col(pos).alias(term[1]))
+                else:
+                    df = df.filter(F.col(pos) == _Parser.term_lexical(term))
+            if self.graph is not None and self.graph[0] == "var":
+                out_cols.append(F.col("ctx").alias(self.graph[1]))
+            return df.select(*out_cols)
+
+        parts = []
+        if fwd or not inv:  # a pure-inverse set has no forward component
+            parts.append(scan(s, o, fwd))
+        if inv:
+            parts.append(scan(o, s, inv))
+        df = parts[0]
+        for other in parts[1:]:
+            df = A.union_bag(df, other)
+        return df
+
+    def eval_path_closure(self, s, sub_path, mod: str, o) -> DataFrame:
+        """Closure modifier over a sub-path (ArbitraryLengthPath /
+        ZeroLengthPath, HTEE:1046-1098).  A bound endpoint routes to the
+        frontier-BFS reachable_from — never the whole-graph closure;
         var-var falls back to path doubling / zero-or-one."""
         from halyard_spark.query import path as PATH
 
-        edges = self.triples.where(F.col("pred") == nt.iri(pred_iri)).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
-        )
+        if self.graph is not None and self.graph[0] == "var":
+            raise ValueError(
+                "SPARQL: closure property paths inside GRAPH ?var are unsupported"
+            )
+        if sub_path[0] == "link":  # fast path: single-predicate edge scan
+            edges = self._scoped().where(F.col("pred") == nt.iri(sub_path[1])).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        else:
+            sv, ov = self._fresh_var(), self._fresh_var()
+            pairs_df = self.eval_path_expr(("var", sv), sub_path, ("var", ov))
+            edges = pairs_df.select(F.col(sv).alias("src"), F.col(ov).alias("dst"))
         min_length = 0 if mod == "*" else 1
         s_var, o_var = s[0] == "var", o[0] == "var"
-        if not s_var and not o_var:
-            raise ValueError("SPARQL: property path with both endpoints bound is unsupported")
         if s_var and o_var:
-            if mod == "?":
-                pairs = PATH.zero_or_one_path(edges)
+            if mod == "+":
+                pairs = PATH.transitive_closure(edges, min_length=1)
             else:
-                pairs = PATH.transitive_closure(edges, min_length=min_length)
+                # zero-length arm: identity over EVERY term in (graph)
+                # scope, not just this predicate's endpoints (W3C
+                # ZeroLengthPath; a seq like `p1/p2?` must keep p1 pairs
+                # whose object has no p2 edge)
+                scoped = self._scoped()
+                terms = scoped.select(F.col("subj").alias("n")).union(
+                    scoped.select(F.col("obj").alias("n"))
+                )
+                if mod == "?":
+                    pairs = PATH.zero_or_one_path(edges, nodes=terms)
+                else:
+                    pairs = PATH.transitive_closure(edges, min_length=0, nodes=terms)
             return pairs.select(F.col("src").alias(s[1]), F.col("dst").alias(o[1]))
+        if not s_var and not o_var:
+            # both endpoints bound (the ASK shape): BFS from the source,
+            # keep at most the one matching pair; the zero-column result
+            # acts as an EXISTS gate under bgp_join's cross product
+            seeds = self.spark.createDataFrame([(_Parser.term_lexical(s),)], "src string")
+            if mod == "?":
+                pairs = PATH.reachable_from(edges, seeds, min_length=0, max_iter=1)
+            else:
+                pairs = PATH.reachable_from(edges, seeds, min_length=min_length)
+            return pairs.where(F.col("dst") == _Parser.term_lexical(o)).limit(1).select()
         if not s_var:  # bound source
-            seeds = self.spark.createDataFrame([(  _Parser.term_lexical(s),)], "src string")
+            seeds = self.spark.createDataFrame([(_Parser.term_lexical(s),)], "src string")
             if mod == "?":
                 pairs = PATH.reachable_from(edges, seeds, min_length=0, max_iter=1)
             else:
@@ -631,6 +931,8 @@ class _Planner:
         kind = e[0]
         if kind == "var":
             return F.col(e[1]), _EXPR_TERM
+        if kind == "havingref":  # pre-computed aggregate column (HAVING rewrite)
+            return F.col(e[1]), e[2]
         if kind == "num":
             raw = e[1]
             return (F.lit(int(raw)) if re.fullmatch(r"[+-]?\d+", raw) else F.lit(float(raw))), _EXPR_NUM
@@ -866,20 +1168,123 @@ class _Planner:
                 return F.sum_distinct(val) / F.count_distinct(val)
             return F.sum(val) if name == "sum" else F.avg(val)
         if name in ("min", "max"):
-            val = self.to_num(col, k) if k == _EXPR_NUM else (
-                self.to_str(col, k) if k != _EXPR_TERM else nt.nt_str(col)
-            )
+            if k == _EXPR_TERM:
+                # compare by the SPARQL order key but RETURN the term, so the
+                # result stays an N-Triples value usable downstream (RDF4J
+                # aggregates return RDF values): struct(ordering keys, term)
+                # under native MIN/MAX, then project the term back out.
+                num = E.try_numeric(col)
+                rank = F.when(nt.nt_is_bnode(col), 0).when(nt.nt_is_iri(col), 1).otherwise(2)
+                # numerics sort before non-numerics for MIN, after for MAX
+                # (mirrors order_key's nulls_last in both directions)
+                nn_min = F.when(num.isNull(), 1).otherwise(0)
+                nn_max = F.when(num.isNull(), 0).otherwise(1)
+                if name == "min":
+                    key = F.struct(
+                        rank.alias("r"), nn_min.alias("nn"),
+                        F.coalesce(num, F.lit(0.0)).alias("n"),
+                        nt.nt_str(col).alias("s"), col.alias("t"),
+                    )
+                    return F.min(key).getField("t")
+                key = F.struct(
+                    rank.alias("r"), nn_max.alias("nn"),
+                    F.coalesce(num, F.lit(0.0)).alias("n"),
+                    nt.nt_str(col).alias("s"), col.alias("t"),
+                )
+                return F.max(key).getField("t")
+            val = self.to_num(col, k) if k == _EXPR_NUM else self.to_str(col, k)
             return F.min(val) if name == "min" else F.max(val)
         if name == "group_concat":
             val = self.to_str(col, k)
             coll = F.collect_set(val) if distinct else F.collect_list(val)
             return F.array_join(F.array_sort(coll), sep)
         if name == "sample":
-            return F.min(self.to_str(col, k))
+            # deterministic SAMPLE that stays a term (not the bare label)
+            return F.min(col) if k == _EXPR_TERM else F.min(self.to_str(col, k))
         raise ValueError(f"SPARQL: unknown aggregate {name}")
+
+    # -- SELECT planning (top level and subqueries share this)
+    def plan_select(self, q: Query, df: DataFrame | None = None) -> DataFrame:
+        """Plan a SELECT Query's projection / aggregation / modifiers over
+        its WHERE result.  Used both by the top-level entry and for nested
+        `{ SELECT ... }` subqueries, whose projection scope hides the inner
+        non-projected variables (HalyardTupleExprEvaluation.java:256-285)."""
+        if df is None:
+            df = self.eval_group(q.where)
+
+        aggregated = bool(q.group_by) or any(
+            e is not None and _contains_agg(e) for _, e in q.projections
+        )
+        if aggregated:
+            aggs = []
+            for alias, e in q.projections:
+                if e is None:
+                    continue
+                if e[0] == "agg":
+                    aggs.append(self.agg_column(e, df).alias(alias))
+                else:
+                    raise ValueError(
+                        "SPARQL: SELECT expressions mixing aggregates and "
+                        "scalars are not supported; alias the aggregate"
+                    )
+            having_cols: list[tuple[str, tuple]] = []
+            rewritten = [_rewrite_having(h, having_cols) for h in q.having]
+            for alias, agg_node in having_cols:
+                aggs.append(self.agg_column(agg_node, df).alias(alias))
+            df = A.group_agg(df, q.group_by, aggs)
+            for h in rewritten:
+                col, k = self.eval_expr(h, df)
+                df = df.filter(E.filter_cond(self.to_bool(col, k)))
+            if having_cols:
+                df = df.drop(*[alias for alias, _ in having_cols])
+            keep = [a for a, _ in q.projections] or q.group_by
+            df = df.select(*keep)
+
+        def apply_order(d: DataFrame) -> DataFrame:
+            keys: list[Column] = []
+            for e, asc in q.order_by:
+                col, k = self.eval_expr(e, d)
+                if k == _EXPR_TERM:
+                    keys.extend(E.order_key(col, ascending=asc))
+                else:
+                    keys.append(col if asc else col.desc())
+            return d.orderBy(*keys)
+
+        if aggregated:
+            if q.order_by:
+                df = apply_order(df)
+        else:
+            for alias, e in q.projections:
+                if e is not None:
+                    col, _k = self.eval_expr(e, df)
+                    df = df.withColumn(alias, col)
+            if q.distinct or q.reduced:
+                # projection first, then dedup; ORDER keys must be projected
+                if not q.select_all:
+                    df = df.select(*[a for a, _ in q.projections])
+                df = A.distinct(df)
+                if q.order_by:
+                    df = apply_order(df)
+            else:
+                # order on the pre-projection df: SPARQL permits ordering by
+                # non-projected variables
+                if q.order_by:
+                    df = apply_order(df)
+                if not q.select_all:
+                    df = df.select(*[a for a, _ in q.projections])
+
+        if q.distinct or q.reduced:
+            if aggregated:
+                df = A.distinct(df)
+
+        if q.offset or q.limit is not None:
+            df = A.slice_rows(df, offset=q.offset, limit=q.limit)
+        return df
 
 
 def _contains_agg(e) -> bool:
+    if isinstance(e, list):
+        return any(_contains_agg(x) for x in e)
     if not isinstance(e, tuple):
         return False
     if e[0] == "agg":
@@ -887,15 +1292,58 @@ def _contains_agg(e) -> bool:
     return any(_contains_agg(x) for x in e[1:] if isinstance(x, (tuple, list)))
 
 
-def sparql_query(triples: DataFrame, query: str, base: str | None = None) -> DataFrame:
+def _having_kind(agg_node) -> str:
+    """Expression kind of a pre-computed HAVING aggregate column."""
+    name = agg_node[1]
+    if name in ("count", "sum", "avg"):
+        return _EXPR_NUM
+    if name == "group_concat":
+        return _EXPR_STR
+    args = agg_node[3]
+    if args and isinstance(args[0], tuple) and args[0][0] == "var":
+        return _EXPR_TERM  # min/max/sample over a term column stays a term
+    return _EXPR_STR
+
+
+def _rewrite_having(e, collect: list):
+    """Replace every aggregate node in a HAVING expression with a
+    ('havingref', alias, kind) over a uniquely-named pre-computed column,
+    so arbitrary boolean shapes — aggregate on either side, AND/OR chains,
+    multiple HAVING clauses — all plan (each aggregate lands in its own
+    __havingN column; no alias collisions)."""
+    if isinstance(e, tuple):
+        if e[0] == "agg":
+            alias = f"__having{len(collect)}"
+            collect.append((alias, e))
+            return ("havingref", alias, _having_kind(e))
+        return tuple(
+            _rewrite_having(x, collect) if isinstance(x, (tuple, list)) else x
+            for x in e
+        )
+    if isinstance(e, list):
+        return [
+            _rewrite_having(x, collect) if isinstance(x, (tuple, list)) else x
+            for x in e
+        ]
+    return e
+
+
+def sparql_query(
+    triples: DataFrame,
+    query: str,
+    base: str | None = None,
+    services: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Parse + plan a SPARQL query over a triples DataFrame (subj, pred,
     obj [, ctx] in N-Triples lexical form).  SELECT returns variable-named
     columns; CONSTRUCT/DESCRIBE return (subj, pred, obj) rows; ASK returns
     one boolean `ask` row — the four query forms of the reference's export
-    path (tools/.../HalyardExport.java:473-539)."""
+    path (tools/.../HalyardExport.java:473-539).  ``services`` maps SERVICE
+    endpoint IRIs to second-store DataFrames (federation registry,
+    HBaseSail.java:196-222)."""
     parser = _Parser(tokenize(query), base=base)
     q = parser.parse()
-    planner = _Planner(triples, parser)
+    planner = _Planner(triples, parser, services=services)
 
     if q.form == "ask":
         df = planner.eval_group(q.where)
@@ -941,77 +1389,7 @@ def sparql_query(triples: DataFrame, query: str, base: str | None = None) -> Dat
             out = A.slice_rows(out, offset=q.offset, limit=q.limit)
         return out
 
-    aggregated = bool(q.group_by) or any(
-        e is not None and _contains_agg(e) for _, e in q.projections
-    )
-    if aggregated:
-        aggs, post_cols = [], []
-        for alias, e in q.projections:
-            if e is None:
-                post_cols.append(alias)
-            else:
-                if e[0] == "agg":
-                    aggs.append(planner.agg_column(e, df).alias(alias))
-                else:
-                    raise ValueError(
-                        "SPARQL: SELECT expressions mixing aggregates and "
-                        "scalars are not supported; alias the aggregate"
-                    )
-        for h in q.having:
-            if h[0] == "cmp" and _contains_agg(h):
-                # HAVING (agg op const): compute the agg, filter post-hoc
-                agg_side, const_side = h[2], h[3]
-                aggs.append(planner.agg_column(agg_side, df).alias("__having"))
-        df = A.group_agg(df, q.group_by, aggs)
-        for h in q.having:
-            cc, kk = planner.eval_expr(h[3], df)
-            op = h[1]
-            hv = F.col("__having")
-            cond = {"=": hv == cc, "!=": hv != cc, "<": hv < cc, ">": hv > cc,
-                    "<=": hv <= cc, ">=": hv >= cc}[op]
-            df = df.filter(E.filter_cond(cond)).drop("__having")
-        keep = [a for a, _ in q.projections] or q.group_by
-        df = df.select(*keep)
-    def apply_order(d: DataFrame) -> DataFrame:
-        keys: list[Column] = []
-        for e, asc in q.order_by:
-            col, k = planner.eval_expr(e, d)
-            if k == _EXPR_TERM:
-                keys.extend(E.order_key(col, ascending=asc))
-            else:
-                keys.append(col if asc else col.desc())
-        return d.orderBy(*keys)
-
-    if aggregated:
-        if q.order_by:
-            df = apply_order(df)
-    else:
-        for alias, e in q.projections:
-            if e is not None:
-                col, _k = planner.eval_expr(e, df)
-                df = df.withColumn(alias, col)
-        if q.distinct or q.reduced:
-            # projection first, then dedup; ORDER keys must be projected
-            if not q.select_all:
-                df = df.select(*[a for a, _ in q.projections])
-            df = A.distinct(df)
-            if q.order_by:
-                df = apply_order(df)
-        else:
-            # order on the pre-projection df: SPARQL permits ordering by
-            # non-projected variables
-            if q.order_by:
-                df = apply_order(df)
-            if not q.select_all:
-                df = df.select(*[a for a, _ in q.projections])
-
-    if q.distinct or q.reduced:
-        if aggregated:
-            df = A.distinct(df)
-
-    if q.offset or q.limit is not None:
-        df = A.slice_rows(df, offset=q.offset, limit=q.limit)
-    return df
+    return planner.plan_select(q, df=df)
 
 
 # SELECT was the original public name; all four forms run through
@@ -1023,9 +1401,11 @@ sparql_select = sparql_query
 
 def _parse_update_ops(parser: _Parser) -> list:
     """UPDATE grammar subset: INSERT DATA / DELETE DATA / DELETE WHERE /
-    [DELETE {t}] [INSERT {t}] WHERE {g}, ';'-separated into STAGES —
-    matching the reference's one-MR-job-per-UpdateExpr staging
-    (tools/.../HalyardBulkUpdate.java:252-288)."""
+    [WITH <g>] [DELETE {t}] [INSERT {t}] WHERE {g}, ';'-separated into
+    STAGES — matching the reference's one-MR-job-per-UpdateExpr staging
+    (tools/.../HalyardBulkUpdate.java:252-288).  Templates and DATA blocks
+    may wrap triples in GRAPH <g> { ... }; WITH <g> targets both templates
+    and the WHERE pattern (no USING clause given)."""
     while True:
         if parser.accept("KW", "prefix"):
             pname = parser.expect("PNAME").value
@@ -1037,48 +1417,69 @@ def _parse_update_ops(parser: _Parser) -> list:
             break
     ops = []
     while parser.peek().kind != "EOF":
+        with_ctx = None
+        if parser.accept("KW", "with"):
+            g = parser.parse_term()
+            if g[0] != "iri":
+                raise SyntaxError("SPARQL UPDATE: WITH needs an IRI")
+            with_ctx = g
         head = parser.next()
         if head.kind != "KW" or head.value not in ("insert", "delete"):
             raise SyntaxError(f"SPARQL UPDATE: expected INSERT/DELETE, got {head.value!r}")
         if parser.accept("KW", "data"):
-            tpl = _only_triples(parser.parse_group())
-            ops.append(("insert_data" if head.value == "insert" else "delete_data", tpl))
+            if with_ctx is not None:
+                raise SyntaxError("SPARQL UPDATE: WITH does not combine with DATA forms")
+            quads = _template_quads(parser.parse_group())
+            ops.append(("insert_data" if head.value == "insert" else "delete_data", quads))
         elif head.value == "delete" and parser.peek().kind == "KW" and parser.peek().value == "where":
             parser.next()
-            tpl = _only_triples(parser.parse_group())
-            ops.append(("modify", tpl, None, tpl))
+            elems = parser.parse_group()
+            quads = _template_quads(elems, default_ctx=with_ctx)
+            where = [("graph", with_ctx, elems)] if with_ctx else elems
+            ops.append(("modify", quads, None, where))
         else:
-            delete_tpl = insert_tpl = None
+            delete_q = insert_q = None
             if head.value == "delete":
-                delete_tpl = _only_triples(parser.parse_group())
+                delete_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
                 if parser.accept("KW", "insert"):
-                    insert_tpl = _only_triples(parser.parse_group())
+                    insert_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
             else:
-                insert_tpl = _only_triples(parser.parse_group())
+                insert_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
             parser.expect("KW", "where")
-            where = parser.parse_group()
-            ops.append(("modify", delete_tpl, insert_tpl, where))
+            elems = parser.parse_group()
+            where = [("graph", with_ctx, elems)] if with_ctx else elems
+            ops.append(("modify", delete_q, insert_q, where))
         parser.accept("OP", ";")
     return ops
 
 
-def _only_triples(elems: list) -> list:
+def _template_quads(elems: list, default_ctx=None) -> list:
+    """Template group -> (s, p, o, ctx) quads; GRAPH blocks set ctx
+    (context derivation mirrors HalyardBulkLoad.java:411-424)."""
+    quads = []
     for el in elems:
-        if el[0] != "triple":
-            raise SyntaxError("SPARQL UPDATE: templates must contain only triples")
-    return elems
+        if el[0] == "triple":
+            quads.append((el[1], el[2], el[3], default_ctx))
+        elif el[0] == "graph":
+            quads.extend(_template_quads(el[2], default_ctx=el[1]))
+        else:
+            raise SyntaxError(
+                "SPARQL UPDATE: templates must contain only triples or GRAPH blocks"
+            )
+    return quads
 
 
-def _instantiate(bound: DataFrame, template: list) -> DataFrame:
+def _instantiate(bound: DataFrame, quads: list) -> DataFrame:
     def c(term):
+        if term is None:
+            return F.lit(None).cast("string")
         return F.col(term[1]) if term[0] == "var" else F.lit(_Parser.term_lexical(term))
 
     parts = [
         bound.select(
-            c(s).alias("subj"), c(p).alias("pred"), c(o).alias("obj"),
-            F.lit(None).cast("string").alias("ctx"),
+            c(s).alias("subj"), c(p).alias("pred"), c(o).alias("obj"), c(ctx).alias("ctx")
         )
-        for _, s, p, o in template
+        for s, p, o, ctx in quads
     ]
     out = parts[0]
     for p_ in parts[1:]:
@@ -1091,22 +1492,26 @@ def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> D
     post-update snapshot.  Each ';'-separated operation is one STAGE with
     snapshot isolation (pipeline/update.bulk_update — every effect inside
     a stage is computed against the pre-stage snapshot, the reference's
-    per-stage MR semantics).  Graph management (GRAPH/WITH) is not
-    supported; template triples land in the default graph (ctx NULL)."""
+    per-stage MR semantics).  GRAPH blocks in templates/DATA and WITH <g>
+    target named graphs; a template triple without a graph lands in the
+    default graph (ctx NULL) on insert, and on delete matches the
+    statement in ANY graph (the store resolves the actual quads — the
+    union-graph read the reference performs with no dataset bound)."""
     from halyard_spark.pipeline.update import bulk_update
 
     parser = _Parser(tokenize(update), base=base)
     ops = _parse_update_ops(parser)
     spark = triples.sparkSession
 
-    def ground_df(template: list) -> DataFrame:
+    def ground_df(quads: list) -> DataFrame:
         rows = []
-        for _, s, p, o in template:
-            if "var" in (s[0], p[0], o[0]):
+        for s, p, o, ctx in quads:
+            if "var" in (s[0], p[0], o[0]) or (ctx is not None and ctx[0] == "var"):
                 raise SyntaxError("SPARQL UPDATE: DATA blocks must be ground (no variables)")
-            rows.append(
-                (_Parser.term_lexical(s), _Parser.term_lexical(p), _Parser.term_lexical(o), None)
-            )
+            rows.append((
+                _Parser.term_lexical(s), _Parser.term_lexical(p), _Parser.term_lexical(o),
+                _Parser.term_lexical(ctx) if ctx is not None else None,
+            ))
         return spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
 
     stages = []
@@ -1117,16 +1522,23 @@ def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> D
                     return None, ground_df(op[1])
                 if op[0] == "delete_data":
                     return ground_df(op[1]), None
-                _, delete_tpl, insert_tpl, where = op
+                _, delete_q, insert_q, where = op
                 bound = _Planner(snapshot, parser).eval_group(where)
                 dels = None
-                if delete_tpl:
-                    # resolve the ACTUAL quads (any graph) matching the
-                    # instantiated delete triples — a template carries no
-                    # ctx, but the store's matched statement does
-                    tpl = _instantiate(bound, delete_tpl).select("subj", "pred", "obj").distinct()
-                    dels = snapshot.join(tpl, ["subj", "pred", "obj"], "left_semi")
-                ins = _instantiate(bound, insert_tpl) if insert_tpl else None
+                if delete_q:
+                    anygraph = [q for q in delete_q if q[3] is None]
+                    ingraph = [q for q in delete_q if q[3] is not None]
+                    parts = []
+                    if anygraph:
+                        tpl = _instantiate(bound, anygraph).select("subj", "pred", "obj").distinct()
+                        parts.append(snapshot.join(tpl, ["subj", "pred", "obj"], "left_semi"))
+                    if ingraph:
+                        tpl = _instantiate(bound, ingraph).select("subj", "pred", "obj", "ctx").distinct()
+                        parts.append(snapshot.join(tpl, ["subj", "pred", "obj", "ctx"], "left_semi"))
+                    dels = parts[0]
+                    for p_ in parts[1:]:
+                        dels = dels.unionByName(p_)
+                ins = _instantiate(bound, insert_q) if insert_q else None
                 return dels, ins
 
             return stage

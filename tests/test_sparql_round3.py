@@ -1,0 +1,387 @@
+"""Round-3 SPARQL front-end surface: named graphs (GRAPH), full property-
+path algebra (sequence / alternative / inverse / negated sets / nested
+closures), subqueries, SERVICE [SILENT], VALUES UNDEF compatibility,
+generalized HAVING, and term-preserving MIN/MAX/SAMPLE.
+
+Reference semantics: RDF4J algebra evaluated by
+strategy/.../HalyardTupleExprEvaluation.java (GRAPH/quads
+common/.../HalyardTableUtils.java:267,282-287; SERVICE :630-703;
+subquery scope :256-285; paths :1073-1098)."""
+
+from __future__ import annotations
+
+import pytest
+
+from halyard_spark import nt
+from halyard_spark.query.sparql import sparql_query, sparql_update, tokenize
+
+EX = "http://example.org/"
+PREFIXES = f"PREFIX ex: <{EX}>\n"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    def t(s, p, o, g=None):
+        return (nt.iri(EX + s), nt.iri(EX + p), o, nt.iri(EX + g) if g else None)
+
+    data = [
+        t("alice", "name", nt.lit("Alice"), "people"),
+        t("alice", "knows", nt.iri(EX + "bob"), "people"),
+        t("bob", "name", nt.lit("Bob"), "people"),
+        t("acme", "name", nt.lit("Acme"), "orgs"),
+        t("alice", "worksFor", nt.iri(EX + "acme"), "orgs"),
+        t("root", "name", nt.lit("Default")),  # default graph (ctx NULL)
+    ]
+    return spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+
+
+@pytest.fixture(scope="module")
+def tree(spark):
+    """a -childOf-> b -childOf-> c; x -marriedTo-> a; names on all."""
+    def t(s, p, o):
+        return (nt.iri(EX + s), nt.iri(EX + p), o, None)
+
+    data = [
+        t("a", "childOf", nt.iri(EX + "b")),
+        t("b", "childOf", nt.iri(EX + "c")),
+        t("x", "marriedTo", nt.iri(EX + "a")),
+        t("a", "name", nt.lit("Ann")),
+        t("b", "name", nt.lit("Ben")),
+        t("c", "name", nt.lit("Cyd")),
+        t("x", "name", nt.lit("Xen")),
+    ]
+    return spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+
+
+# ------------------------------------------------------------- tokenizer
+
+def test_pname_trailing_dot_is_terminator():
+    toks = tokenize("?s a foaf:Person. }")
+    values = [t.value for t in toks]
+    assert "foaf:Person" in values and "." in values
+    assert not any(v.endswith("Person.") for v in values)
+
+
+def test_num_trailing_dot_is_terminator():
+    toks = tokenize("FILTER(?x = 42. )")
+    values = [t.value for t in toks]
+    assert "42" in values and "." in values
+    # but real decimals and exponent forms stay intact
+    assert [t.value for t in tokenize("4.25")][0] == "4.25"
+    assert [t.value for t in tokenize("1.e3")][0] == "1.e3"
+
+
+def test_pname_local_with_inner_dot(spark, quads):
+    # inner dots stay part of the local name
+    toks = tokenize("ex:a.b.c ex:p ?o .")
+    assert toks[0].value == "ex:a.b.c"
+
+
+# ------------------------------------------------------------------ GRAPH
+
+def test_graph_iri_scopes_pattern(spark, quads):
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?s ?n WHERE { GRAPH ex:people { ?s ex:name ?n } }""")
+    assert rows(out) == sorted([
+        (nt.iri(EX + "alice"), nt.lit("Alice")),
+        (nt.iri(EX + "bob"), nt.lit("Bob")),
+    ])
+
+
+def test_graph_var_binds_context(spark, quads):
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:name ?n } }""")
+    got = rows(out)
+    # default-graph row (ctx NULL) is excluded from GRAPH ?g
+    assert (nt.iri(EX + "people"), nt.iri(EX + "alice")) in got
+    assert (nt.iri(EX + "orgs"), nt.iri(EX + "acme")) in got
+    assert all(g is not None for g, _ in got)
+    assert len(got) == 3
+
+
+def test_graph_var_joins_within_one_graph(spark, quads):
+    # both triples must come from the SAME named graph
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?g ?o WHERE { GRAPH ?g { ex:alice ex:knows ?o . ?o ex:name ?n } }""")
+    assert rows(out) == [(nt.iri(EX + "people"), nt.iri(EX + "bob"))]
+    # worksFor target's name lives in a different graph -> no row
+    out2 = sparql_query(quads, PREFIXES + """
+        SELECT ?g WHERE { GRAPH ?g { ex:alice ex:worksFor ?o . ?o ex:knows ?x } }""")
+    assert rows(out2) == []
+
+
+def test_default_scope_reads_all_graphs(spark, quads):
+    # no GRAPH clause = union of all contexts (the reference's unbound-ctx scan)
+    out = sparql_query(quads, PREFIXES + "SELECT ?s WHERE { ?s ex:name ?n }")
+    assert len(rows(out)) == 4
+
+
+def test_update_insert_into_graph_and_with(spark):
+    g = spark.createDataFrame(
+        [(nt.iri(EX + "a"), nt.iri(EX + "p"), nt.lit("keep"), nt.iri(EX + "g1"))],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT DATA {{ GRAPH ex:g2 {{ ex:b ex:p "fresh" }} . ex:c ex:p "default" }}
+    """)
+    got = {(r["subj"], r["obj"], r["ctx"]) for r in out.collect()}
+    assert (nt.iri(EX + "b"), nt.lit("fresh"), nt.iri(EX + "g2")) in got
+    assert (nt.iri(EX + "c"), nt.lit("default"), None) in got
+
+    # WITH: template + WHERE both target g1
+    out2 = sparql_update(out, f"""
+        PREFIX ex: <{EX}>
+        WITH ex:g1 DELETE {{ ?s ex:p "keep" }} INSERT {{ ?s ex:p "renewed" }}
+        WHERE {{ ?s ex:p "keep" }}
+    """)
+    got2 = {(r["subj"], r["obj"], r["ctx"]) for r in out2.collect()}
+    assert (nt.iri(EX + "a"), nt.lit("renewed"), nt.iri(EX + "g1")) in got2
+    assert (nt.iri(EX + "a"), nt.lit("keep"), nt.iri(EX + "g1")) not in got2
+    # g2's row untouched
+    assert (nt.iri(EX + "b"), nt.lit("fresh"), nt.iri(EX + "g2")) in got2
+
+
+def test_update_with_scopes_where_to_graph(spark):
+    # the WHERE pattern under WITH must not match other graphs
+    g = spark.createDataFrame(
+        [(nt.iri(EX + "a"), nt.iri(EX + "p"), nt.lit("v"), nt.iri(EX + "g2"))],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_update(g, f"""
+        PREFIX ex: <{EX}>
+        WITH ex:g1 DELETE {{ ?s ex:p ?o }} WHERE {{ ?s ex:p ?o }}
+    """)
+    assert out.count() == 1  # nothing matched in g1; g2 row survives
+
+
+# ------------------------------------------------------------------ paths
+
+def test_path_sequence(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?n WHERE { ex:a ex:childOf/ex:name ?n }""")
+    assert rows(out) == [(nt.lit("Ben"),)]
+    out2 = sparql_query(tree, PREFIXES + """
+        SELECT ?n WHERE { ex:a ex:childOf/ex:childOf/ex:name ?n }""")
+    assert rows(out2) == [(nt.lit("Cyd"),)]
+
+
+def test_path_alternative(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?o WHERE { ex:a (ex:childOf|ex:name) ?o }""")
+    assert rows(out) == sorted([(nt.iri(EX + "b"),), (nt.lit("Ann"),)])
+
+
+def test_path_inverse(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?child WHERE { ex:b ^ex:childOf ?child }""")
+    assert rows(out) == [(nt.iri(EX + "a"),)]
+    # inverse inside a sequence: who is married to a child of ?x
+    out2 = sparql_query(tree, PREFIXES + """
+        SELECT ?who WHERE { ex:b ^ex:childOf/^ex:marriedTo ?who }""")
+    assert rows(out2) == [(nt.iri(EX + "x"),)]
+
+
+def test_path_negated_property_set(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?o WHERE { ex:a !(ex:name) ?o }""")
+    assert rows(out) == [(nt.iri(EX + "b"),)]
+    # negated set with inverse member: incoming edges that aren't marriedTo
+    out2 = sparql_query(tree, PREFIXES + """
+        SELECT ?s WHERE { ex:a !(ex:childOf|^ex:marriedTo) ?s }""")
+    assert rows(out2) == [(nt.lit("Ann"),)]  # only ex:name remains forward
+
+
+def test_path_closure_over_sequence(spark, tree):
+    # (childOf/childOf)+ from a: exactly the grandparent chain -> c
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?o WHERE { ex:a (ex:childOf/ex:childOf)+ ?o }""")
+    assert rows(out) == [(nt.iri(EX + "c"),)]
+
+
+def test_path_closure_over_alternative(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?o WHERE { ex:x (ex:marriedTo|ex:childOf)+ ?o }""")
+    assert rows(out) == sorted([
+        (nt.iri(EX + "a"),), (nt.iri(EX + "b"),), (nt.iri(EX + "c"),)])
+
+
+def test_zero_length_identity_spans_all_terms(spark, tree):
+    # `p1/p2?` must keep p1 pairs whose object has NO p2 edge: the
+    # zero-length arm matches every graph term, not just p2's endpoints
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?o WHERE { ex:b ex:childOf/ex:marriedTo? ?o }""")
+    assert rows(out) == [(nt.iri(EX + "c"),)]
+    out2 = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?o WHERE { ?s ex:name/ex:marriedTo* ?o }""")
+    assert len(rows(out2)) == 4  # every name literal maps to itself
+
+
+def test_path_both_endpoints_bound(spark, tree):
+    yes = sparql_query(tree, PREFIXES + "ASK { ex:a ex:childOf+ ex:c }").collect()
+    assert yes[0]["ask"] is True
+    no = sparql_query(tree, PREFIXES + "ASK { ex:c ex:childOf+ ex:a }").collect()
+    assert no[0]["ask"] is False
+
+
+def test_path_inside_graph_iri(spark, quads):
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?n WHERE { GRAPH ex:people { ex:alice ex:knows/ex:name ?n } }""")
+    assert rows(out) == [(nt.lit("Bob"),)]
+
+
+# -------------------------------------------------------------- subqueries
+
+def test_subquery_aggregate_join(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?n ?cnt WHERE {
+          ?s ex:name ?n .
+          { SELECT ?s (COUNT(*) AS ?cnt) WHERE { ?s ex:childOf ?p } GROUP BY ?s }
+        }""")
+    got = {r["n"]: r["cnt"] for r in out.collect()}
+    assert got == {nt.lit("Ann"): 1, nt.lit("Ben"): 1}
+
+
+def test_subquery_scope_hides_inner_vars(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT * WHERE {
+          { SELECT ?s WHERE { ?s ex:childOf ?hidden } }
+        }""")
+    assert out.columns == ["s"]
+
+
+def test_subquery_limit_order(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?n WHERE {
+          { SELECT ?s WHERE { ?s ex:name ?x } ORDER BY ?x LIMIT 1 }
+          ?s ex:name ?n .
+        }""")
+    assert rows(out) == [(nt.lit("Ann"),)]
+
+
+def test_subquery_with_optional_ses2154(spark, tree):
+    # the reference's SES2154 regression shape: OPTIONAL inside a subselect
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?spouse WHERE {
+          { SELECT ?s ?spouse WHERE {
+              ?s ex:name ?n .
+              OPTIONAL { ?spouse ex:marriedTo ?s }
+          } }
+          ?s ex:childOf ?p .
+        }""")
+    got = {r["s"]: r["spouse"] for r in out.collect()}
+    assert got[nt.iri(EX + "a")] == nt.iri(EX + "x")
+    assert got[nt.iri(EX + "b")] is None
+
+
+def test_bind_first_group(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?x ?n WHERE { BIND(1 AS ?x) ex:a ex:name ?n }""")
+    assert rows(out) == [(1, nt.lit("Ann"))]
+
+
+# ----------------------------------------------------------------- SERVICE
+
+def test_service_joins_second_store(spark, tree):
+    other = spark.createDataFrame(
+        [(nt.iri(EX + "a"), nt.iri(EX + "salary"), nt.lit("100", dtype=nt.XSD + "integer"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?sal WHERE {
+          ?s ex:name ?n .
+          SERVICE <urn:store:hr> { ?s ex:salary ?sal }
+        }""", services={"urn:store:hr": other})
+    assert rows(out) == [(nt.iri(EX + "a"), nt.lit("100", dtype=nt.XSD + "integer"))]
+
+
+def test_service_missing_endpoint_raises(spark, tree):
+    with pytest.raises(ValueError, match="no registered endpoint"):
+        sparql_query(tree, PREFIXES + """
+            SELECT ?s WHERE { SERVICE <urn:store:nope> { ?s ex:p ?o } }""").collect()
+
+
+def test_service_silent_swallows_missing_endpoint(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s ex:childOf ?p .
+          SERVICE SILENT <urn:store:nope> { ?s ex:salary ?sal }
+        }""")
+    assert len(rows(out)) == 2  # unit solution: left side passes through
+
+
+# ------------------------------------------------------------ VALUES UNDEF
+
+def test_values_undef_is_wildcard(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?n WHERE {
+          ?s ex:name ?n .
+          VALUES (?s ?n) { (ex:a UNDEF) (UNDEF "Cyd") }
+        }""")
+    assert rows(out) == sorted([
+        (nt.iri(EX + "a"), nt.lit("Ann")),
+        (nt.iri(EX + "c"), nt.lit("Cyd")),
+    ])
+
+
+def test_values_undef_fills_from_values_side(spark, tree):
+    # var bound only in VALUES flows into the result
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?tag WHERE {
+          ?s ex:childOf ?p .
+          VALUES (?s ?tag) { (ex:a "young") (UNDEF "any") }
+        }""")
+    got = sorted((r["s"], r["tag"]) for r in out.collect())
+    assert got == sorted([
+        (nt.iri(EX + "a"), nt.lit("young")),
+        (nt.iri(EX + "a"), nt.lit("any")),
+        (nt.iri(EX + "b"), nt.lit("any")),
+    ])
+
+
+# ----------------------------------------------------------------- HAVING
+
+def test_having_aggregate_on_right(spark, tree):
+    # subjects: a,b,x have 2 triples each; c has 1
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+        GROUP BY ?s HAVING (1 < COUNT(*))""")
+    assert {r["s"] for r in out.collect()} == {
+        nt.iri(EX + "a"), nt.iri(EX + "b"), nt.iri(EX + "x")}
+
+
+def test_having_conjunction_and_two_clauses(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+        GROUP BY ?s HAVING (COUNT(*) >= 1 && COUNT(*) <= 2)
+        HAVING (COUNT(?p) = 1)""")
+    assert {r["s"] for r in out.collect()} == {nt.iri(EX + "c")}
+    assert "__having" not in "".join(out.columns)
+
+
+# ----------------------------------------- term-preserving MIN/MAX/SAMPLE
+
+def test_min_max_sample_return_terms(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) (SAMPLE(?s) AS ?any)
+        WHERE { ?s ex:name ?n }""")
+    r = out.collect()[0]
+    assert r["lo"] == nt.lit("Ann") and r["hi"] == nt.lit("Xen")
+    assert r["any"].startswith("<")  # still an IRI term, not a bare label
+
+
+def test_min_max_numeric_terms_compare_numerically(spark):
+    g = spark.createDataFrame(
+        [
+            ("<urn:x>", "<urn:v>", nt.lit("9", dtype=nt.XSD + "integer"), None),
+            ("<urn:x>", "<urn:v>", nt.lit("10", dtype=nt.XSD + "integer"), None),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    r = sparql_query(g, "SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE { ?s <urn:v> ?v }").collect()[0]
+    assert r["lo"] == nt.lit("9", dtype=nt.XSD + "integer")  # numeric, not lexicographic
+    assert r["hi"] == nt.lit("10", dtype=nt.XSD + "integer")

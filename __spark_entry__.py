@@ -440,6 +440,156 @@ def q_sparql_construct(spark, sf_dir):
     """)
 
 
+def _tpch_quads(spark, sf_dir):
+    """Quad store: the TPC-H triples with a per-source named graph in ctx
+    (quads are first-class in the reference — 6 index permutations,
+    common/.../HalyardTableUtils.java:267,282-287)."""
+    t = _tpch_triples(spark, sf_dir)
+    ctx = (
+        F.when(F.col("subj").startswith("<urn:customer:"), "<urn:graph:customer>")
+        .when(F.col("subj").startswith("<urn:nation:"), "<urn:graph:nation>")
+        .otherwise("<urn:graph:region>")
+    )
+    return t.withColumn("ctx", ctx)
+
+
+_TPCH_QUADS_SQL = """
+    SELECT subj, pred, obj,
+           CASE WHEN subj LIKE '<urn:customer:%' THEN '<urn:graph:customer>'
+                WHEN subj LIKE '<urn:nation:%' THEN '<urn:graph:nation>'
+                ELSE '<urn:graph:region>' END AS ctx
+    FROM ({triples})
+""".format(triples=_TPCH_TRIPLES_SQL)
+
+
+def q_sparql_graph(spark, sf_dir):
+    """GRAPH ?g named-graph pattern through the parser: bind the ctx
+    column as a variable and aggregate per graph (quad scan dispatch,
+    HalyardTableUtils.java:267,282-287)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_quads(spark, sf_dir), """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g
+    """)
+
+
+def q_sparql_graph_const(spark, sf_dir):
+    """Cross-graph BGP: constant GRAPH scopes prune each pattern to one
+    ctx (partition pruning when the store is ctx-partitioned)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_quads(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?n ?rn WHERE {
+          GRAPH <urn:graph:nation> { ?n p:inRegion ?r }
+          GRAPH <urn:graph:region> { ?r p:name ?rn }
+        }
+    """)
+
+
+def q_path_sequence(spark, sf_dir):
+    """Property-path sequence p1/p2/p3 -> fresh-var join chain
+    (SPARQL 1.1 paths; RDF4J algebra via HTEE:1073-1098)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?cust ?region_name
+        WHERE { ?cust p:inNation/p:inRegion/p:name ?region_name }
+    """)
+
+
+def q_path_alternative(spark, sf_dir):
+    """Property-path alternative (p1|p2) -> bag union of edge scans."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?v WHERE { ?s (p:name|p:mktsegment) ?v }
+    """)
+
+
+def q_path_inverse(spark, sf_dir):
+    """Inverse path ^p -> endpoint swap."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?r ?n WHERE { ?r ^p:inRegion ?n }
+    """)
+
+
+def q_path_negated(spark, sf_dir):
+    """Negated property set !(p1|p2) -> NOT-IN predicate scan."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?o WHERE { ?s !(p:name|p:mktsegment) ?o }
+    """)
+
+
+def q_sparql_subquery(spark, sf_dir):
+    """Nested { SELECT ... } subquery with its own GROUP BY, joined to the
+    outer pattern on the projected variable (scope pushdown per
+    HalyardTupleExprEvaluation.java:256-285)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?region_name ?n WHERE {
+          ?region p:name ?region_name .
+          { SELECT ?region (COUNT(*) AS ?n)
+            WHERE { ?nation p:inRegion ?region } GROUP BY ?region }
+        }
+    """)
+
+
+def q_sparql_service(spark, sf_dir):
+    """SERVICE federation: the region-name triples live in a second
+    registered store; the BGP joins across both
+    (HalyardTupleExprEvaluation.java:630-703)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    t = _tpch_triples_ctx(spark, sf_dir)
+    regions = t.where(F.col("subj").startswith("<urn:region:"))
+    local = t.where(~F.col("subj").startswith("<urn:region:"))
+    return sparql_query(local, """
+        PREFIX p: <urn:p:>
+        SELECT ?n ?rn WHERE {
+          ?n p:inRegion ?r .
+          SERVICE <urn:store:regions> { ?r p:name ?rn }
+        }
+    """, services={"urn:store:regions": regions})
+
+
+def q_values_undef(spark, sf_dir):
+    """VALUES with UNDEF wildcards: an UNDEF cell constrains nothing and
+    the merged row takes whichever side is bound (SPARQL compatibility,
+    BindingSetAssignment semantics)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?cust ?seg WHERE {
+          ?cust p:mktsegment ?seg .
+          VALUES (?seg ?cust) { ("BUILDING" UNDEF) (UNDEF <urn:customer:1>) }
+        }
+    """)
+
+
+def q_sparql_having_mixed(spark, sf_dir):
+    """Generalized HAVING: aggregate on the right of the comparison AND a
+    conjunction — each aggregate lands in its own pre-computed column."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c p:mktsegment ?seg }
+        GROUP BY ?seg HAVING (10 <= COUNT(*) && COUNT(*) != 0)
+    """)
+
+
 def q_fulltext_scan(spark, sf_dir):
     """Full-text search scan (`halyard:search` analog, HBaseSail.java:612-683):
     term/phrase conjunction over literal objects, compiled to pushable
@@ -828,6 +978,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_filter_order": q_sparql_filter_order,
     "sparql_optional_values": q_sparql_optional_values,
     "sparql_construct": q_sparql_construct,
+    "sparql_graph": q_sparql_graph,
+    "sparql_graph_const": q_sparql_graph_const,
+    "path_sequence": q_path_sequence,
+    "path_alternative": q_path_alternative,
+    "path_inverse": q_path_inverse,
+    "path_negated": q_path_negated,
+    "sparql_subquery": q_sparql_subquery,
+    "sparql_service": q_sparql_service,
+    "values_undef": q_values_undef,
+    "sparql_having_mixed": q_sparql_having_mixed,
     "fulltext_scan": q_fulltext_scan,
     "kg_void_stats": q_kg_void_stats,
     "summary_log2": q_summary_log2,
@@ -1203,6 +1363,56 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
                '<urn:p:label>' AS pred, '"' || c_name || '"' AS obj
         FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "sparql_graph": """
+        SELECT ctx AS g, COUNT(*) AS n FROM ({quads}) GROUP BY ctx
+    """.format(quads=_TPCH_QUADS_SQL),
+    "sparql_graph_const": """
+        SELECT '<urn:nation:' || CAST(n_nationkey AS VARCHAR) || '>' AS n,
+               '"' || r_name || '"' AS rn
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "path_sequence": """
+        SELECT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS cust,
+               '"' || r_name || '"' AS region_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "path_alternative": """
+        SELECT subj AS s, obj AS v FROM ({triples})
+        WHERE pred IN ('<urn:p:name>', '<urn:p:mktsegment>')
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "path_inverse": """
+        SELECT obj AS r, subj AS n FROM ({triples})
+        WHERE pred = '<urn:p:inRegion>'
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "path_negated": """
+        SELECT subj AS s, obj AS o FROM ({triples})
+        WHERE pred NOT IN ('<urn:p:name>', '<urn:p:mktsegment>')
+    """.format(triples=_TPCH_TRIPLES_SQL),
+    "sparql_subquery": """
+        SELECT '"' || r_name || '"' AS region_name, cnt.n AS n
+        FROM region
+        JOIN (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey) cnt
+          ON region.r_regionkey = cnt.n_regionkey
+    """,
+    "sparql_service": """
+        SELECT '<urn:nation:' || CAST(n_nationkey AS VARCHAR) || '>' AS n,
+               '"' || r_name || '"' AS rn
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "values_undef": """
+        WITH t AS (SELECT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS cust,
+                          '"' || c_mktsegment || '"' AS seg FROM customer),
+        v(vseg, vcust) AS (VALUES ('"BUILDING"', NULL), (NULL, '<urn:customer:1>'))
+        SELECT t.cust, t.seg FROM t JOIN v
+          ON (v.vseg IS NULL OR v.vseg = t.seg)
+         AND (v.vcust IS NULL OR v.vcust = t.cust)
+    """,
+    "sparql_having_mixed": """
+        SELECT '"' || c_mktsegment || '"' AS seg, COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+        HAVING 10 <= COUNT(*) AND COUNT(*) <> 0
     """,
     "fulltext_scan": """
         SELECT subj, pred, obj FROM ({triples}) t

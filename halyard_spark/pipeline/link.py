@@ -49,24 +49,30 @@ def link_mentions(
     dictionary: DataFrame,
     strategy: str = "auto",
     salt_buckets: int = 16,
+    dict_rows: int | None = None,
 ) -> DataFrame:
     """Resolve reference mentions (import/xref) to canonical entities.
 
     Returns linked(repo, path, kind, name, canonical_id, score).
+    ``dict_rows``: known dictionary cardinality (e.g. the preceding
+    stage's lineage row count) — supplying it removes the driver-blocking
+    count job from the auto strategy probe.
     """
     refs = mentions.filter(F.col("kind").isin("import", "xref"))
     ref_kind = F.when(F.col("kind") == "import", F.lit("module")).otherwise(F.lit("module"))
     refs = refs.withColumn("target_kind", ref_kind)
 
     if strategy == "auto":
-        # cheap cardinality probe on the dictionary only (small side).
+        # cheap cardinality probe on the dictionary only (small side),
+        # skipped entirely when the caller already knows the size.
         # Large dictionaries default to a plain shuffle hash join: AQE's
         # skew-join splitting handles moderately hot surface keys at zero
         # cost, whereas salting replicates the whole dictionary x buckets.
         # Explicit strategy="salted" remains the tool for pathological
         # single-key skew (the mega-repo case) where even AQE's split of
         # one reducer partition isn't enough.
-        strategy = "broadcast" if dictionary.count() <= BROADCAST_MAX_ROWS else "shuffle"
+        n = dict_rows if dict_rows is not None else dictionary.count()
+        strategy = "broadcast" if n <= BROADCAST_MAX_ROWS else "shuffle"
 
     # rename dictionary columns: it may derive from the same mentions DF
     # (self-join) and 'kind'/'qualifier' would be ambiguous otherwise

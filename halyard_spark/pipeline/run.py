@@ -84,7 +84,12 @@ def run_pipeline(
         linked = run_stage(
             "link",
             f"{out_dir}/linked",
-            lambda: link.link_mentions(mentions, dictionary, strategy=link_strategy),
+            # the dictionary stage just counted its output — reuse it so
+            # the auto-strategy probe costs no extra driver job
+            lambda: link.link_mentions(
+                mentions, dictionary, strategy=link_strategy,
+                dict_rows=report["dictionary"]["rows"],
+            ),
         )
         return dictionary, linked
 

@@ -47,23 +47,38 @@ def fulltext_scan(triples: DataFrame, query: str) -> DataFrame:
     return triples.where(match_condition(F.col("obj"), query))
 
 
+MAX_BATCH_QUERIES = 10_000  # compiled-predicate width guard
+
+
 def search_literals(triples: DataFrame, patterns_df: DataFrame) -> DataFrame:
-    """Batch form: join a DataFrame of (query_id, query) search literals
-    against the store — each query's hits tagged with its id.  Mirrors the
-    reference's weak-map result cache turned into a set-oriented join."""
+    """Batch form: match a DataFrame of (query_id, query) search literals
+    against the store — each query's hits tagged with its id.
+
+    Set-oriented: the query set (small, protocol-side — it is collected,
+    like the reference serializes its bounded query list) is compiled into
+    ONE array-of-matched-ids projection evaluated in a SINGLE store scan,
+    then exploded.  No per-query scan branches: at Q queries the old
+    union-of-Q-scans shape read the store Q times; this reads it once and
+    evaluates Q whole-stage-codegen'd contains-conjunctions per row.
+    Substring semantics (term 'cust' matches 'Customer#...') rule out a
+    token-equality join, which would silently drop partial-word hits."""
     queries = [(r["query_id"], r["query"]) for r in patterns_df.collect()]
-    parts = []
-    for qid, q in queries:
-        parts.append(
-            fulltext_scan(triples, q).select(
-                F.lit(qid).alias("query_id"), "subj", "pred", "obj"
-            )
-        )
-    if not parts:
+    if not queries:
         return patterns_df.sparkSession.createDataFrame(
             [], "query_id string, subj string, pred string, obj string"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    if len(queries) > MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"search_literals: {len(queries)} queries exceeds the compiled-"
+            f"predicate limit {MAX_BATCH_QUERIES}; shard the pattern set"
+        )
+    obj = F.col("obj")
+    whens = [
+        F.when(match_condition(obj, q), F.lit(str(qid))) for qid, q in queries
+    ]
+    hits = triples.select(
+        "subj", "pred", "obj", F.array_compact(F.array(*whens)).alias("__qids")
+    ).where(F.size("__qids") > 0)
+    return hits.select(
+        F.explode("__qids").alias("query_id"), "subj", "pred", "obj"
+    )

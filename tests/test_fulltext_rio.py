@@ -40,6 +40,24 @@ def test_search_literals_batch(spark):
     assert got == {("q1", "<urn:d1>"), ("q1", "<urn:d2>"), ("q2", "<urn:d3>")}
 
 
+def test_search_literals_single_store_scan(spark, tmp_path):
+    """Set-oriented contract: Q queries compile into ONE store scan (the
+    old shape unioned one full scan per query)."""
+    store = str(tmp_path / "store")
+    _g(spark).write.parquet(store)
+    g = spark.read.parquet(store)
+    qs = spark.createDataFrame(
+        [(f"q{i}", w) for i, w in enumerate(["fox", "quick", "see", "slow", "brown"])],
+        "query_id string, query string",
+    )
+    out = search_literals(g, qs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    # a query matching multiple rows and a row matching multiple queries
+    got = {(r["query_id"], r["subj"]) for r in out.collect()}
+    assert ("q0", "<urn:d1>") in got and ("q1", "<urn:d1>") in got
+
+
 def test_fulltext_magic_literal_in_sparql(spark):
     """An object literal typed halyard-spark:search inside a SPARQL triple
     pattern triggers the fulltext scan (HBaseSail.java:392-398 datatype

@@ -121,3 +121,13 @@ def test_link_salted_equals_broadcast(spark, src):
     cols = ["repo", "path", "kind", "name", "canonical_id"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_link_auto_with_size_hint_runs_no_count_job(spark, src):
+    """Supplying dict_rows must skip the driver-blocking count probe."""
+    m = extract.extract_mentions(src).cache()
+    d = link.build_dictionary(m)
+    d.count = lambda: (_ for _ in ()).throw(AssertionError("count job ran despite hint"))
+    out = link.link_mentions(m, d, strategy="auto", dict_rows=100)
+    assert out.columns == ["repo", "path", "kind", "name", "canonical_id", "score"]
+    assert out.count() > 0  # the join itself still executes

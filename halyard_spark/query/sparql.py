@@ -549,9 +549,18 @@ class _Parser:
 
     def parse_additive(self):
         e = self.parse_multiplicative()
-        while self.peek().kind == "OP" and self.peek().value in ("+", "-"):
-            op = self.next().value
-            e = ("arith", op, e, self.parse_multiplicative())
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value in ("+", "-"):
+                op = self.next().value
+                e = ("arith", op, e, self.parse_multiplicative())
+            elif t.kind == "NUM" and t.value[0] in "+-":
+                # '?a+1' tokenizes the sign into the number (SPARQL's own
+                # grammar note §19.2): split it back into op + operand
+                self.next()
+                e = ("arith", t.value[0], e, ("num", t.value[1:]))
+            else:
+                break
         return e
 
     def parse_multiplicative(self):

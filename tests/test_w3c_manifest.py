@@ -1,0 +1,80 @@
+"""W3C-SPARQL-1.1-style manifest conformance run.
+
+The reference's golden standard is the W3C approved SPARQL 1.1 query-
+evaluation suite executed through the full stack
+(strategy/src/test/.../W3CApprovedSPARQL11QueryTest.java:34-55): each
+manifest entry names a data file, a query file, and an expected result
+set.  tests/w3c mirrors that layout with a hand-authored sample written
+from the SPARQL 1.1 spec semantics (one case per algebra/eval area:
+BGP, FILTER, OPTIONAL, UNION, MINUS, EXISTS, BIND, VALUES/UNDEF,
+subqueries, GRAPH, all property-path forms, aggregates, HAVING,
+DISTINCT, ORDER/LIMIT, string/conditional/cast builtins, ASK), every
+query running through tokenizer -> parser -> DataFrame planner.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from halyard_spark.query.sparql import sparql_query
+
+W3C_DIR = Path(__file__).parent / "w3c"
+
+# N-Triples / N-Quads line: 3 or 4 terms, '.'-terminated
+_TERM = r'(<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9\-]*|\^\^<[^>]*>)?)'
+_LINE = re.compile(rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}(?:\s+{_TERM})?\s*\.\s*$")
+
+
+def load_nquads(spark, path: Path):
+    rows = []
+    for line in path.read_text().splitlines():
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        m = _LINE.match(line)
+        assert m, f"unparseable fixture line: {line!r}"
+        s, p, o, g = m.groups()
+        rows.append((s, p, o, g))
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _multiset(rows):
+    out: dict = {}
+    for r in rows:
+        key = tuple(_norm(x) for x in r)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+MANIFEST = json.loads((W3C_DIR / "manifest.json").read_text())
+
+
+@pytest.mark.parametrize("case", MANIFEST, ids=[c["name"] for c in MANIFEST])
+def test_w3c_case(spark, case):
+    data = load_nquads(spark, W3C_DIR / case["data"])
+    query = (W3C_DIR / case["query"]).read_text()
+    expect = json.loads((W3C_DIR / case["result"]).read_text())
+    out = sparql_query(data, query)
+
+    if "boolean" in expect:  # ASK form
+        assert out.collect()[0]["ask"] is expect["boolean"]
+        return
+
+    assert out.columns == expect["vars"], f"projection mismatch: {out.columns}"
+    got = [tuple(r) for r in out.collect()]
+    want = [tuple(r) for r in expect["rows"]]
+    if expect.get("ordered"):
+        assert [tuple(_norm(x) for x in r) for r in got] == [
+            tuple(_norm(x) for x in r) for r in want
+        ]
+    else:
+        assert _multiset(got) == _multiset(want)

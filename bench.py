@@ -154,18 +154,26 @@ def write_baseline_md(result: dict) -> None:
             lines.append(
                 f"| local[{s32['cpus']}] (full width) | {s32['n_files']} | {s32['wall_sec']} | {s32['triples']} | {s32['triples_per_sec']} |"
             )
+        med = scal.get("efficiency_median")
+        n_inv = scal.get("n_invocations")
         lines += [
             "",
             "## Two-cluster-size scaling criterion (sandbox proxy, BASELINE.md)",
             "",
             f"- identical deterministic input at every level (n_files={hi['n_files']}); all runs CPU-pinned (`taskset -c 0-(N-1)`) so level N has exactly N cores",
             f"- primary proxy {lo['cpus']} -> {hi['cpus']} cores: {lo['triples_per_sec']} -> {hi['triples_per_sec']} triples/sec,",
-            f"  **efficiency (T4N/TN)/4 = {scal['efficiency']}** (target >= 0.8)",
+            f"  **efficiency (T4N/TN)/4 = {scal['efficiency']}** (target >= 0.8)"
+            + (f"; median across {n_inv} invocation(s) = {med}" if med is not None else ""),
+            "- BOTH legs of every reported ratio come from the SAME bench",
+            "  invocation (best per-invocation efficiency; a ratio pairing",
+            "  bests from different runs is never the headline)",
         ]
         if sec:
+            sec_med = sec.get("efficiency_median")
             lines += [
                 f"- secondary proxy 8 -> 32 cores (full sandbox width): {sec['low']['triples_per_sec']} -> {sec['high']['triples_per_sec']} triples/sec,",
-                f"  efficiency = {sec['efficiency']}",
+                f"  efficiency = {sec['efficiency']}"
+                + (f"; median = {sec_med}" if sec_med is not None else ""),
             ]
         if ctl:
             cpu, mem = ctl.get("cpu_spin", {}), ctl.get("mem_stream", {})
@@ -193,13 +201,13 @@ def write_baseline_md(result: dict) -> None:
                 "streaming control, not against 1.0.",
                 "",
                 "Measurement caveat: the host shows intermittent neighbor noise",
-                "(10-20% steal periods); every level reports the best across its",
-                "repeats and across bench invocations (identical deterministic",
-                "input at every level — noise only ever slows a run down; raw",
-                "per-run samples are kept in BENCH/scaling_cache.json).  A",
-                "noise-penalized slow-leg sample can push a ratio above 1.0 —",
-                "read >1 values as slow-leg measurement noise, not superlinear",
-                "scaling.",
+                "(10-20% steal periods).  Within one invocation each level",
+                "reports the best of its repeats; the published efficiency is",
+                "the best PER-INVOCATION ratio (both legs from the same run)",
+                "with the cross-invocation median shown alongside.  Raw per-run",
+                "samples and every invocation's own ratio are kept in",
+                "BENCH/scaling_cache.json; cross-invocation best-per-level",
+                "numbers are informational only.",
             ]
     lines += [
         "",
@@ -293,26 +301,75 @@ def _merge_level(old: dict | None, new: dict) -> dict:
 
 
 def _save_cached_scaling(scaling: dict) -> dict:
+    """Persist per-invocation scaling records and report the BEST
+    PER-INVOCATION efficiency — both legs of every reported ratio come
+    from the SAME bench run, so the headline can never exceed what a
+    single invocation actually measured (pairing bests from different
+    runs biased the criterion upward).  Cross-invocation best-per-level
+    numbers are kept as informational context only; medians across
+    invocations are reported alongside the best."""
+    import statistics
+
     old = _load_cached_scaling() or {}
-    lo = _merge_level(old.get("low"), scaling["low"])
-    hi = _merge_level(old.get("high"), scaling["high"])
-    sec_old = old.get("secondary_8_to_32") or {}
-    sec_new = scaling.get("secondary_8_to_32") or {}
-    merged = dict(scaling)
-    merged["low"], merged["high"] = lo, hi
-    merged["efficiency"] = round((hi["triples_per_sec"] / lo["triples_per_sec"]) / 4, 3)
-    if sec_new:
-        w32 = _merge_level(sec_old.get("high"), sec_new["high"])
-        merged["secondary_8_to_32"] = {
-            "low": hi,
-            "high": w32,
-            "efficiency": round((w32["triples_per_sec"] / hi["triples_per_sec"]) / 4, 3),
-        }
+    invocations = old.get("invocations") or []
+    if not invocations and old.get("low"):
+        # legacy cache (pre-per-invocation): its efficiency mixed legs from
+        # different runs — keep as informational, never as the headline
+        invocations = [{
+            "low": old["low"], "high": old["high"],
+            "efficiency": old.get("efficiency"),
+            "secondary_8_to_32": old.get("secondary_8_to_32"),
+            "legacy_merged": True,
+        }]
+    rec = {
+        "low": scaling["low"], "high": scaling["high"],
+        "efficiency": scaling["efficiency"],
+        "secondary_8_to_32": scaling.get("secondary_8_to_32"),
+    }
+    invocations.append(rec)
+
+    clean = [r for r in invocations if not r.get("legacy_merged")]
+    pool = clean or invocations
+    best = max(pool, key=lambda r: r.get("efficiency") or -1.0)
+    effs = [r["efficiency"] for r in pool if r.get("efficiency") is not None]
+    sec_recs = [r["secondary_8_to_32"] for r in pool if r.get("secondary_8_to_32")]
+    sec_best = max(sec_recs, key=lambda s: s["efficiency"]) if sec_recs else None
+
     old_samples = old.get("samples") or {}
     new_samples = scaling.get("samples") or {}
-    merged["samples"] = {
+    samples = {
         k: (old_samples.get(k) or []) + (new_samples.get(k) or [])
         for k in set(old_samples) | set(new_samples)
+    }
+    merged = {
+        "low": best["low"],
+        "high": best["high"],
+        "efficiency": best["efficiency"],
+        "efficiency_median": round(statistics.median(effs), 3) if effs else None,
+        "secondary_8_to_32": (
+            dict(
+                sec_best,
+                efficiency_median=round(
+                    statistics.median(s["efficiency"] for s in sec_recs), 3
+                ),
+            )
+            if sec_best
+            else None
+        ),
+        "n_invocations": len(clean),
+        "best_per_level_informational": {
+            "low": _merge_level(
+                (old.get("best_per_level_informational") or {}).get("low") or old.get("low"),
+                scaling["low"],
+            ),
+            "high": _merge_level(
+                (old.get("best_per_level_informational") or {}).get("high") or old.get("high"),
+                scaling["high"],
+            ),
+        },
+        "hardware_controls": scaling.get("hardware_controls") or old.get("hardware_controls"),
+        "samples": samples,
+        "invocations": invocations,
     }
     os.makedirs(os.path.dirname(SCALING_CACHE), exist_ok=True)
     with open(SCALING_CACHE, "w") as f:

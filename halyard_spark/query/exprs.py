@@ -65,6 +65,46 @@ def sparql_compare(a: str | Column, b: str | Column) -> Column:
     )
 
 
+_CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
+
+
+def _cmp_to_bool(op: str, key: Column) -> Column:
+    z = F.lit(0)
+    return {"=": key == z, "!=": key != z, "<": key < z, ">": key > z,
+            "<=": key <= z, ">=": key >= z}[op]
+
+
+def compare_any(col: str | Column, op: str, values: list[str | Column]) -> Column:
+    """Quantified compare ANY: true when `col op v` holds for at least one
+    v (RDF4J CompareAny, HalyardValueExprEvaluation.java:935-958).  SPARQL
+    value-comparison semantics per term (numeric promotion else lexical);
+    empty value set => false."""
+    if op not in _CMP_OPS:
+        raise ValueError(f"compare_any: unknown operator {op!r}")
+    if not values:
+        return F.lit(False)
+    conds = [_cmp_to_bool(op, sparql_compare(col, v)) for v in values]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def compare_all(col: str | Column, op: str, values: list[str | Column]) -> Column:
+    """Quantified compare ALL: true when `col op v` holds for every v
+    (RDF4J CompareAll, HalyardValueExprEvaluation.java:960-982); empty
+    value set => true (vacuous truth)."""
+    if op not in _CMP_OPS:
+        raise ValueError(f"compare_all: unknown operator {op!r}")
+    if not values:
+        return F.lit(True)
+    conds = [_cmp_to_bool(op, sparql_compare(col, v)) for v in values]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def langmatches(lang: Column, rng: str | Column) -> Column:
     """SPARQL langMatches(lang, range): '*' matches any non-empty tag;
     otherwise case-insensitive exact match or prefix followed by '-'

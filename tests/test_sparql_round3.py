@@ -385,3 +385,29 @@ def test_min_max_numeric_terms_compare_numerically(spark):
     r = sparql_query(g, "SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE { ?s <urn:v> ?v }").collect()[0]
     assert r["lo"] == nt.lit("9", dtype=nt.XSD + "integer")  # numeric, not lexicographic
     assert r["hi"] == nt.lit("10", dtype=nt.XSD + "integer")
+
+
+# ---------------------------------------------- quantified compare helpers
+
+def test_compare_any_all(spark):
+    from pyspark.sql import functions as F
+
+    from halyard_spark.query import exprs as E
+
+    df = spark.createDataFrame(
+        [(nt.lit(str(v), dtype=nt.XSD + "integer"),) for v in (5, 20)], "x string"
+    )
+    vals = [F.lit(nt.lit("10", dtype=nt.XSD + "integer")),
+            F.lit(nt.lit("3", dtype=nt.XSD + "integer"))]
+    got = df.select(
+        "x",
+        E.compare_any(F.col("x"), "<", vals).alias("any_lt"),
+        E.compare_all(F.col("x"), ">", vals).alias("all_gt"),
+    ).collect()
+    by = {r["x"]: (r["any_lt"], r["all_gt"]) for r in got}
+    assert by[nt.lit("5", dtype=nt.XSD + "integer")] == (True, False)   # 5<10 any; 5>3 but not >10
+    assert by[nt.lit("20", dtype=nt.XSD + "integer")] == (False, True)  # 20 not < any; > all
+    # empty sets: ANY -> false, ALL -> vacuously true
+    r = df.select(E.compare_any(F.col("x"), "=", []).alias("a"),
+                  E.compare_all(F.col("x"), "=", []).alias("b")).collect()[0]
+    assert r["a"] is False and r["b"] is True

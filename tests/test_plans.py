@@ -97,3 +97,32 @@ def test_extract_boundary_is_narrow(spark):
     plan = _plan(df)
     seg = plan.split("MapInPandas")[1].splitlines()[0] if "MapInPandas" in plan else ""
     assert "fid" in seg and "commit" not in seg, seg
+
+
+def test_graph_constant_pushes_ctx_filter(spark, store):
+    """GRAPH <g> must reach the parquet scan as a pushed ctx predicate —
+    on a ctx-partitioned store that is partition pruning (the reference's
+    per-context index prefix)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    spo = materialize.read_index(spark, f"{store}/store", "spo")
+    g = spo.select("ctx").where(F.col("ctx").isNotNull()).first()["ctx"]
+    out = sparql_query(spo, f"SELECT ?s WHERE {{ GRAPH {g} {{ ?s ?p ?o }} }}")
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "ctx" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_path_sequence_bound_source_pushes_subject(spark, store):
+    """`<s> p1/p2 ?o` must push the constant subject into the FIRST scan
+    (the join chain narrows from the bound side, per-binding evaluation's
+    analog) rather than scanning both predicates unfiltered."""
+    from halyard_spark.query.sparql import sparql_query
+
+    spo = materialize.read_index(spark, f"{store}/store", "spo")
+    s = spo.where(F.col("pred") == "<urn:p:imports>").first()["subj"]
+    out = sparql_query(
+        spo, f"SELECT ?o WHERE {{ {s} <urn:p:imports>/<urn:p:canonical> ?o }}"
+    )
+    plan = _plan(out)
+    pushed = [seg[:300] for seg in plan.split("PushedFilters")[1:]]
+    assert any("EqualTo(subj," in seg for seg in pushed), plan

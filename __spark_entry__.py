@@ -563,6 +563,19 @@ def q_sparql_service(spark, sf_dir):
     """, services={"urn:store:regions": regions})
 
 
+def q_sparql_from(spark, sf_dir):
+    """FROM dataset clause: the listed named graphs merge into the default
+    graph for the query (SPARQL 1.1 §13.2; the reference resolves datasets
+    through the RDF4J Dataset on the strategy)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    return sparql_query(_tpch_quads(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?v FROM <urn:graph:region> FROM <urn:graph:nation>
+        WHERE { ?s p:name ?v }
+    """)
+
+
 def q_values_undef(spark, sf_dir):
     """VALUES with UNDEF wildcards: an UNDEF cell constrains nothing and
     the merged row takes whichever side is bound (SPARQL compatibility,
@@ -986,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_negated": q_path_negated,
     "sparql_subquery": q_sparql_subquery,
     "sparql_service": q_sparql_service,
+    "sparql_from": q_sparql_from,
     "values_undef": q_values_undef,
     "sparql_having_mixed": q_sparql_having_mixed,
     "fulltext_scan": q_fulltext_scan,
@@ -1401,6 +1415,10 @@ ORACLES: dict[str, str] = {
                '"' || r_name || '"' AS rn
         FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
+    "sparql_from": """
+        SELECT subj AS s, obj AS v FROM ({quads})
+        WHERE pred = '<urn:p:name>' AND ctx IN ('<urn:graph:region>', '<urn:graph:nation>')
+    """.format(quads=_TPCH_QUADS_SQL),
     "values_undef": """
         WITH t AS (SELECT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS cust,
                           '"' || c_mktsegment || '"' AS seg FROM customer),

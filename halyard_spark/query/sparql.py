@@ -66,7 +66,7 @@ _KEYWORDS = {
     "group", "by", "having", "order", "asc", "desc", "limit", "offset",
     "exists", "not", "in", "a", "true", "false",
     "insert", "delete", "data", "with",
-    "graph", "service", "silent",
+    "graph", "service", "silent", "from", "named",
 }
 
 
@@ -112,6 +112,9 @@ class Query:
     order_by: list = field(default_factory=list)  # (expr_ast, ascending)
     limit: int | None = None
     offset: int = 0
+    # RDF dataset clauses; None = no clause given (query the whole store)
+    from_graphs: list | None = None  # FROM <g>: default graph = merge of these
+    from_named: list | None = None  # FROM NAMED <g>: the GRAPH-var space
 
 
 class _Parser:
@@ -195,6 +198,18 @@ class _Parser:
         elif q.form == "describe":
             while self.peek().kind in ("IRI", "PNAME", "VAR"):
                 q.describe_terms.append(self.parse_term())
+        # DatasetClause*: FROM <g> / FROM NAMED <g> (SPARQL 1.1 §13.2) —
+        # the reference resolves these through the RDF4J Dataset on the
+        # strategy (filters the context of every scan)
+        while self.accept("KW", "from"):
+            named = bool(self.accept("KW", "named"))
+            g = self.parse_term()
+            if g[0] != "iri":
+                raise SyntaxError("SPARQL: FROM needs an IRI")
+            if named:
+                q.from_named = (q.from_named or []) + [self.term_lexical(g)]
+            else:
+                q.from_graphs = (q.from_graphs or []) + [self.term_lexical(g)]
         if self.accept("KW", "where"):
             q.where = self.parse_group()
         elif self.peek().kind == "OP" and self.peek().value == "{":
@@ -655,6 +670,9 @@ class _Planner:
         # when no dataset is given — HBaseSail scans with no ctx bound);
         # otherwise the GRAPH term ('iri', g) or ('var', v)
         self.graph: tuple | None = None
+        # RDF dataset from FROM / FROM NAMED (lists of ctx lexicals, or
+        # None each when no clause of that kind was given)
+        self.dataset: tuple[list | None, list | None] = (None, None)
         self._fresh_n = 0
 
     def _fresh_var(self) -> str:
@@ -762,18 +780,36 @@ class _Planner:
         return A.values_table(self.spark, rows, schema)
 
     def _scoped(self) -> DataFrame:
-        """The store narrowed to the current GRAPH scope.  No scope = all
-        contexts (the reference's unbound-context scan); GRAPH <g> prunes to
-        one ctx (partition pruning when the store is ctx-partitioned);
-        GRAPH ?g keeps named graphs only (ctx NOT NULL)."""
+        """The store narrowed to the current GRAPH scope and the query's
+        RDF dataset.  No scope + no dataset = all contexts (the
+        reference's unbound-context scan); GRAPH <g> prunes to one ctx
+        (partition pruning when the store is ctx-partitioned); GRAPH ?g
+        keeps named graphs only (ctx NOT NULL).  With FROM / FROM NAMED
+        the W3C dataset applies strictly: FROM merges the listed graphs
+        into the default graph, FROM NAMED bounds the GRAPH space, and a
+        kind with no clause listed is EMPTY when the other kind is
+        present (SPARQL 1.1 §13.2)."""
         df = self.triples
-        if self.graph is None:
-            return df
-        if "ctx" not in df.columns:
+        ds_defaults, ds_named = self.dataset
+        has_ds = ds_defaults is not None or ds_named is not None
+        if "ctx" not in df.columns and (has_ds or self.graph is not None):
             df = df.withColumn("ctx", F.lit(None).cast("string"))
+        if self.graph is None:
+            if not has_ds:
+                return df
+            defaults = ds_defaults or []
+            if not defaults:
+                return df.where(F.lit(False))
+            return df.where(F.col("ctx").isin(defaults))
         if self.graph[0] == "var":
+            if has_ds:
+                named = ds_named or []
+                return df.where(F.col("ctx").isin(named) if named else F.lit(False))
             return df.where(F.col("ctx").isNotNull())
-        return df.where(F.col("ctx") == _Parser.term_lexical(self.graph))
+        g = _Parser.term_lexical(self.graph)
+        if has_ds and g not in (ds_named or []):
+            return df.where(F.lit(False))
+        return df.where(F.col("ctx") == g)
 
     def eval_triple(self, s, p, o) -> DataFrame:
         if p[0] == "pathexpr":
@@ -1353,6 +1389,7 @@ def sparql_query(
     parser = _Parser(tokenize(query), base=base)
     q = parser.parse()
     planner = _Planner(triples, parser, services=services)
+    planner.dataset = (q.from_graphs, q.from_named)
 
     if q.form == "ask":
         df = planner.eval_group(q.where)

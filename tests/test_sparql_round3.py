@@ -411,3 +411,31 @@ def test_compare_any_all(spark):
     r = df.select(E.compare_any(F.col("x"), "=", []).alias("a"),
                   E.compare_all(F.col("x"), "=", []).alias("b")).collect()[0]
     assert r["a"] is False and r["b"] is True
+
+
+# ------------------------------------------------------------ FROM datasets
+
+def test_from_merges_named_graphs_into_default(spark, quads):
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?s FROM ex:people WHERE { ?s ex:name ?n }""")
+    assert rows(out) == sorted([(nt.iri(EX + "alice"),), (nt.iri(EX + "bob"),)])
+    out2 = sparql_query(quads, PREFIXES + """
+        SELECT ?s FROM ex:people FROM ex:orgs WHERE { ?s ex:name ?n }""")
+    assert len(rows(out2)) == 3  # merge of both graphs; default-graph row excluded
+
+
+def test_from_named_bounds_graph_space(spark, quads):
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?g ?s FROM NAMED ex:orgs WHERE { GRAPH ?g { ?s ex:name ?n } }""")
+    assert rows(out) == [(nt.iri(EX + "orgs"), nt.iri(EX + "acme"))]
+    # constant GRAPH outside the named list matches nothing
+    out2 = sparql_query(quads, PREFIXES + """
+        SELECT ?s FROM NAMED ex:orgs WHERE { GRAPH ex:people { ?s ex:name ?n } }""")
+    assert rows(out2) == []
+
+
+def test_from_only_empties_graph_space(spark, quads):
+    # dataset with FROM but no FROM NAMED has no named graphs (SPARQL §13.2)
+    out = sparql_query(quads, PREFIXES + """
+        SELECT ?g FROM ex:people WHERE { GRAPH ?g { ?s ex:name ?n } }""")
+    assert rows(out) == []

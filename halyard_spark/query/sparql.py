@@ -65,7 +65,7 @@ _KEYWORDS = {
     "optional", "union", "minus", "filter", "bind", "values", "undef",
     "group", "by", "having", "order", "asc", "desc", "limit", "offset",
     "exists", "not", "in", "a", "true", "false",
-    "insert", "delete", "data", "with",
+    "insert", "delete", "data", "with", "using",
     "graph", "service", "silent", "from", "named",
 }
 
@@ -1482,7 +1482,7 @@ def _parse_update_ops(parser: _Parser) -> list:
             elems = parser.parse_group()
             quads = _template_quads(elems, default_ctx=with_ctx)
             where = [("graph", with_ctx, elems)] if with_ctx else elems
-            ops.append(("modify", quads, None, where))
+            ops.append(("modify", quads, None, where, None))
         else:
             delete_q = insert_q = None
             if head.value == "delete":
@@ -1491,10 +1491,25 @@ def _parse_update_ops(parser: _Parser) -> list:
                     insert_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
             else:
                 insert_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
+            # USING / USING NAMED: the WHERE pattern's dataset (the UPDATE
+            # analog of FROM; overrides WITH for the pattern, SPARQL 1.1
+            # Update §3.1.3)
+            using_defaults = using_named = None
+            while parser.accept("KW", "using"):
+                named = bool(parser.accept("KW", "named"))
+                g = parser.parse_term()
+                if g[0] != "iri":
+                    raise SyntaxError("SPARQL UPDATE: USING needs an IRI")
+                if named:
+                    using_named = (using_named or []) + [parser.term_lexical(g)]
+                else:
+                    using_defaults = (using_defaults or []) + [parser.term_lexical(g)]
             parser.expect("KW", "where")
             elems = parser.parse_group()
-            where = [("graph", with_ctx, elems)] if with_ctx else elems
-            ops.append(("modify", delete_q, insert_q, where))
+            has_using = using_defaults is not None or using_named is not None
+            where = [("graph", with_ctx, elems)] if (with_ctx and not has_using) else elems
+            dataset = (using_defaults, using_named) if has_using else None
+            ops.append(("modify", delete_q, insert_q, where, dataset))
         parser.accept("OP", ";")
     return ops
 
@@ -1568,8 +1583,11 @@ def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> D
                     return None, ground_df(op[1])
                 if op[0] == "delete_data":
                     return ground_df(op[1]), None
-                _, delete_q, insert_q, where = op
-                bound = _Planner(snapshot, parser).eval_group(where)
+                _, delete_q, insert_q, where, dataset = op
+                planner = _Planner(snapshot, parser)
+                if dataset is not None:
+                    planner.dataset = dataset
+                bound = planner.eval_group(where)
                 dels = None
                 if delete_q:
                     anygraph = [q for q in delete_q if q[3] is None]

@@ -439,3 +439,22 @@ def test_from_only_empties_graph_space(spark, quads):
     out = sparql_query(quads, PREFIXES + """
         SELECT ?g FROM ex:people WHERE { GRAPH ?g { ?s ex:name ?n } }""")
     assert rows(out) == []
+
+
+def test_update_using_scopes_where(spark):
+    # USING restricts the WHERE pattern's default graph (UPDATE's FROM)
+    g = spark.createDataFrame(
+        [
+            (nt.iri(EX + "a"), nt.iri(EX + "p"), nt.lit("1"), nt.iri(EX + "g1")),
+            (nt.iri(EX + "b"), nt.iri(EX + "p"), nt.lit("2"), nt.iri(EX + "g2")),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_update(g, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:p ?o }} USING ex:g1 WHERE {{ ?s ex:p ?o }}
+    """)
+    got = {(r["subj"], r["ctx"]) for r in out.collect()}
+    # only g1's statement matched the pattern and was deleted (the no-ctx
+    # delete template resolves the actual quad in any graph)
+    assert got == {(nt.iri(EX + "b"), nt.iri(EX + "g2"))}

@@ -10,13 +10,19 @@ query/pattern.py, query/exprs.py).  Catalyst then optimizes the composed
 plan — there is no separate interpreter; a parsed query IS a DataFrame.
 
 Supported surface (the W3C-style shapes exercised by the reference's
-conformance suite, strategy/src/test/.../W3CApprovedSPARQL11QueryTest.java):
+conformance suite, strategy/src/test/.../W3CApprovedSPARQL11QueryTest.java;
+our sample manifest run lives in tests/w3c):
 
   PREFIX / BASE, SELECT [DISTINCT|REDUCED] (*, vars, (expr AS ?v)),
-  WHERE { triple patterns with ';' ',' 'a', nested groups, OPTIONAL,
-  UNION, MINUS, FILTER (incl. EXISTS / NOT EXISTS), BIND, VALUES },
-  GROUP BY / HAVING with COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE
-  (each with DISTINCT), ORDER BY [ASC|DESC], LIMIT / OFFSET.
+  FROM / FROM NAMED datasets, WHERE { triple patterns with ';' ',' 'a',
+  nested groups, nested { SELECT ... } subqueries, OPTIONAL, UNION,
+  MINUS, GRAPH <g> / GRAPH ?g, SERVICE [SILENT] <iri>, FILTER (incl.
+  EXISTS / NOT EXISTS), BIND, VALUES with UNDEF }, full property-path
+  algebra (sequence / alternative / inverse ^ / negated sets ! / p+ p*
+  p? over arbitrary sub-paths), GROUP BY / HAVING (arbitrary boolean
+  shapes) with COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE (each with
+  DISTINCT), ORDER BY [ASC|DESC], LIMIT / OFFSET; UPDATE adds GRAPH
+  blocks, WITH and USING [NAMED].
 
 Terms are the engine's N-Triples lexical strings (nt.py), so parsed
 queries run unchanged against any triples DataFrame (subj, pred, obj

@@ -73,21 +73,39 @@ class SparqlEndpoint:
     reference's stored-queries feature, HttpSparqlHandler.java).
     """
 
-    def __init__(self, triples: DataFrame, port: int = 0, stored: dict[str, str] | None = None):
+    def __init__(
+        self,
+        triples: DataFrame,
+        port: int = 0,
+        stored: dict[str, str] | None = None,
+        services: dict[str, DataFrame] | None = None,
+    ):
         self.triples = triples
         self.stored = dict(stored or {})
+        self.services = dict(services or {})
         ep = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
                 pass
 
-            def _answer(self, query: str | None):
+            def _answer(self, query: str | None, params: dict | None = None):
                 if not query:
                     self.send_error(400, "missing query")
                     return
+                # SPARQL protocol dataset parameters override the query's
+                # own FROM / FROM NAMED (HttpSparqlHandler honors the same
+                # precedence through the RDF4J Dataset)
+                dataset = None
+                if params and ("default-graph-uri" in params or "named-graph-uri" in params):
+                    dataset = (
+                        [f"<{u}>" for u in params.get("default-graph-uri", [])] or None,
+                        [f"<{u}>" for u in params.get("named-graph-uri", [])] or None,
+                    )
                 try:
-                    df = sparql_select(ep.triples, query)
+                    df = sparql_select(
+                        ep.triples, query, services=ep.services, dataset=dataset
+                    )
                     payload = json.dumps(results_json(df)).encode()
                 except Exception as exc:  # malformed query -> protocol error
                     self.send_error(400, str(exc)[:500])
@@ -103,9 +121,9 @@ class SparqlEndpoint:
                 params = urllib.parse.parse_qs(parsed.query)
                 if parsed.path.startswith("/stored/"):
                     name = parsed.path[len("/stored/"):]
-                    self._answer(ep.stored.get(name))
+                    self._answer(ep.stored.get(name), params)
                     return
-                self._answer((params.get("query") or [None])[0])
+                self._answer((params.get("query") or [None])[0], params)
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length") or 0)
@@ -115,7 +133,7 @@ class SparqlEndpoint:
                     self._answer(body)
                 else:  # form-encoded (the SPARQL protocol's other POST form)
                     params = urllib.parse.parse_qs(body)
-                    self._answer((params.get("query") or [None])[0])
+                    self._answer((params.get("query") or [None])[0], params)
 
         self.server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.server.server_address[1]

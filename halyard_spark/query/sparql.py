@@ -1384,6 +1384,7 @@ def sparql_query(
     query: str,
     base: str | None = None,
     services: dict[str, DataFrame] | None = None,
+    dataset: tuple[list | None, list | None] | None = None,
 ) -> DataFrame:
     """Parse + plan a SPARQL query over a triples DataFrame (subj, pred,
     obj [, ctx] in N-Triples lexical form).  SELECT returns variable-named
@@ -1391,11 +1392,14 @@ def sparql_query(
     one boolean `ask` row — the four query forms of the reference's export
     path (tools/.../HalyardExport.java:473-539).  ``services`` maps SERVICE
     endpoint IRIs to second-store DataFrames (federation registry,
-    HBaseSail.java:196-222)."""
+    HBaseSail.java:196-222).  ``dataset`` = (default_ctxs, named_ctxs)
+    lists of N-Triples ctx lexicals; when given it OVERRIDES the query's
+    own FROM / FROM NAMED (the SPARQL protocol rule for
+    default-graph-uri / named-graph-uri parameters)."""
     parser = _Parser(tokenize(query), base=base)
     q = parser.parse()
     planner = _Planner(triples, parser, services=services)
-    planner.dataset = (q.from_graphs, q.from_named)
+    planner.dataset = dataset if dataset is not None else (q.from_graphs, q.from_named)
 
     if q.form == "ask":
         df = planner.eval_group(q.where)

@@ -80,3 +80,33 @@ def test_bad_query_is_protocol_error(ep):
     with pytest.raises(urllib.error.HTTPError) as e2:
         _get(f"http://127.0.0.1:{ep.port}/sparql")
     assert e2.value.code == 400
+
+
+def test_endpoint_dataset_params(spark):
+    """SPARQL protocol default-graph-uri restricts the query's dataset."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from halyard_spark import nt
+    from halyard_spark.endpoint import SparqlEndpoint
+
+    g = spark.createDataFrame(
+        [
+            ("<urn:a>", "<urn:p>", nt.lit("1"), "<urn:g1>"),
+            ("<urn:b>", "<urn:p>", nt.lit("2"), "<urn:g2>"),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ep = SparqlEndpoint(g).start()
+    try:
+        q = urllib.parse.quote("SELECT ?s WHERE { ?s <urn:p> ?o }")
+        dg = urllib.parse.quote("urn:g1")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{ep.port}/sparql?query={q}&default-graph-uri={dg}"
+        ) as resp:
+            body = _json.loads(resp.read())
+        got = {b["s"]["value"] for b in body["results"]["bindings"]}
+        assert got == {"urn:a"}
+    finally:
+        ep.stop()

@@ -73,6 +73,7 @@ _KEYWORDS = {
     "exists", "not", "in", "a", "true", "false",
     "insert", "delete", "data", "with", "using",
     "graph", "service", "silent", "from", "named",
+    "clear", "drop", "create", "copy", "move", "add", "to", "default", "all",
 }
 
 
@@ -1480,6 +1481,40 @@ def _parse_update_ops(parser: _Parser) -> list:
                 raise SyntaxError("SPARQL UPDATE: WITH needs an IRI")
             with_ctx = g
         head = parser.next()
+        if head.kind == "KW" and head.value in ("clear", "drop", "create", "copy", "move", "add"):
+            # graph management (SPARQL 1.1 Update §3.2; RDF4J executes these
+            # through the same UpdateExpr staging the reference runs)
+            if with_ctx is not None:
+                raise SyntaxError("SPARQL UPDATE: WITH does not combine with graph management")
+            parser.accept("KW", "silent")  # we never raise for missing graphs
+            if head.value in ("clear", "drop"):
+                if parser.accept("KW", "default"):
+                    ops.append(("clear", ("default",)))
+                elif parser.accept("KW", "named"):
+                    ops.append(("clear", ("named",)))
+                elif parser.accept("KW", "all"):
+                    ops.append(("clear", ("all",)))
+                else:
+                    parser.expect("KW", "graph")
+                    g = parser.parse_term()
+                    ops.append(("clear", ("graph", parser.term_lexical(g))))
+            elif head.value == "create":
+                parser.expect("KW", "graph")
+                parser.parse_term()
+                ops.append(("noop",))  # graphs exist implicitly in the store
+            else:  # COPY / MOVE / ADD src TO dst
+                def graph_or_default():
+                    if parser.accept("KW", "default"):
+                        return None
+                    parser.accept("KW", "graph")
+                    return parser.term_lexical(parser.parse_term())
+
+                src = graph_or_default()
+                parser.expect("KW", "to")
+                dst = graph_or_default()
+                ops.append(("graphop", head.value, src, dst))
+            parser.accept("OP", ";")
+            continue
         if head.kind != "KW" or head.value not in ("insert", "delete"):
             raise SyntaxError(f"SPARQL UPDATE: expected INSERT/DELETE, got {head.value!r}")
         if parser.accept("KW", "data"):
@@ -1585,10 +1620,36 @@ def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> D
             ))
         return spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
 
+    def _ctx_cond(spec):
+        if spec[0] == "default":
+            return F.col("ctx").isNull()
+        if spec[0] == "named":
+            return F.col("ctx").isNotNull()
+        if spec[0] == "all":
+            return F.lit(True)
+        return F.col("ctx") == spec[1]
+
     stages = []
     for op in ops:
         def make_stage(op=op):
             def stage(snapshot: DataFrame):
+                if op[0] == "noop":
+                    return None, None
+                if op[0] == "clear":  # CLEAR / DROP: remove the graph's statements
+                    return snapshot.where(_ctx_cond(op[1])), None
+                if op[0] == "graphop":  # COPY / MOVE / ADD src TO dst
+                    _, kind, src, dst = op
+                    src_cond = F.col("ctx").isNull() if src is None else F.col("ctx") == src
+                    dst_cond = F.col("ctx").isNull() if dst is None else F.col("ctx") == dst
+                    ins = snapshot.where(src_cond).withColumn(
+                        "ctx", F.lit(dst).cast("string")
+                    )
+                    dels = None
+                    if kind == "copy":  # dst is replaced wholesale
+                        dels = snapshot.where(dst_cond)
+                    elif kind == "move":
+                        dels = snapshot.where(dst_cond | src_cond)
+                    return dels, ins
                 if op[0] == "insert_data":
                     return None, ground_df(op[1])
                 if op[0] == "delete_data":

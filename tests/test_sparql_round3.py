@@ -458,3 +458,50 @@ def test_update_using_scopes_where(spark):
     # only g1's statement matched the pattern and was deleted (the no-ctx
     # delete template resolves the actual quad in any graph)
     assert got == {(nt.iri(EX + "b"), nt.iri(EX + "g2"))}
+
+
+# ------------------------------------------------------- graph management
+
+def _gm_store(spark):
+    return spark.createDataFrame(
+        [
+            (nt.iri(EX + "a"), nt.iri(EX + "p"), nt.lit("1"), nt.iri(EX + "g1")),
+            (nt.iri(EX + "b"), nt.iri(EX + "p"), nt.lit("2"), nt.iri(EX + "g2")),
+            (nt.iri(EX + "c"), nt.iri(EX + "p"), nt.lit("3"), None),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+
+
+def test_update_clear_and_drop(spark):
+    g = _gm_store(spark)
+    out = sparql_update(g, f"PREFIX ex: <{EX}>\nCLEAR GRAPH ex:g1")
+    assert {r["ctx"] for r in out.collect()} == {nt.iri(EX + "g2"), None}
+    out2 = sparql_update(g, "CLEAR DEFAULT")
+    assert {r["ctx"] for r in out2.collect()} == {nt.iri(EX + "g1"), nt.iri(EX + "g2")}
+    out3 = sparql_update(g, "DROP SILENT NAMED")
+    assert {r["ctx"] for r in out3.collect()} == {None}
+    assert sparql_update(g, "CLEAR ALL").count() == 0
+
+
+def test_update_copy_move_add(spark):
+    g = _gm_store(spark)
+    # ADD: union into the target, source kept
+    out = sparql_update(g, f"PREFIX ex: <{EX}>\nADD ex:g1 TO ex:g2")
+    rows_ = {(r["subj"], r["ctx"]) for r in out.collect()}
+    assert (nt.iri(EX + "a"), nt.iri(EX + "g2")) in rows_
+    assert (nt.iri(EX + "a"), nt.iri(EX + "g1")) in rows_
+    # COPY: target replaced wholesale
+    out2 = sparql_update(g, f"PREFIX ex: <{EX}>\nCOPY ex:g1 TO ex:g2")
+    rows2 = {(r["subj"], r["ctx"]) for r in out2.collect()}
+    assert (nt.iri(EX + "b"), nt.iri(EX + "g2")) not in rows2
+    assert (nt.iri(EX + "a"), nt.iri(EX + "g2")) in rows2
+    # MOVE: source emptied
+    out3 = sparql_update(g, f"PREFIX ex: <{EX}>\nMOVE ex:g1 TO DEFAULT")
+    rows3 = {(r["subj"], r["ctx"]) for r in out3.collect()}
+    assert (nt.iri(EX + "a"), None) in rows3
+    assert not any(c == nt.iri(EX + "g1") for _, c in rows3)
+    # the old default-graph row was replaced by the move
+    assert (nt.iri(EX + "c"), None) not in rows3
+    # CREATE is a no-op
+    assert sparql_update(g, f"PREFIX ex: <{EX}>\nCREATE GRAPH ex:gnew").count() == 3

@@ -74,6 +74,7 @@ _KEYWORDS = {
     "insert", "delete", "data", "with", "using",
     "graph", "service", "silent", "from", "named",
     "clear", "drop", "create", "copy", "move", "add", "to", "default", "all",
+    "load", "into",
 }
 
 
@@ -1481,6 +1482,22 @@ def _parse_update_ops(parser: _Parser) -> list:
                 raise SyntaxError("SPARQL UPDATE: WITH needs an IRI")
             with_ctx = g
         head = parser.next()
+        if head.kind == "KW" and head.value == "load":
+            # LOAD [SILENT] <doc> [INTO GRAPH <g>] — the document IRI is a
+            # file/directory path for Spark's text source (.nt/.nq, plain
+            # or compressed); the reference streams it through a Rio
+            # parser (ParserPump, HalyardBulkLoad.java:321-482)
+            silent = bool(parser.accept("KW", "silent"))
+            doc = parser.parse_term()
+            if doc[0] != "iri":
+                raise SyntaxError("SPARQL UPDATE: LOAD needs a document IRI")
+            into = None
+            if parser.accept("KW", "into"):
+                parser.expect("KW", "graph")
+                into = parser.term_lexical(parser.parse_term())
+            ops.append(("load", doc[1], into, silent))
+            parser.accept("OP", ";")
+            continue
         if head.kind == "KW" and head.value in ("clear", "drop", "create", "copy", "move", "add"):
             # graph management (SPARQL 1.1 Update §3.2; RDF4J executes these
             # through the same UpdateExpr staging the reference runs)
@@ -1635,6 +1652,20 @@ def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> D
             def stage(snapshot: DataFrame):
                 if op[0] == "noop":
                     return None, None
+                if op[0] == "load":
+                    from halyard_spark.sources.rio import read_ntriples
+
+                    _, doc, into, silent = op
+                    path = doc[len("file://"):] if doc.startswith("file://") else doc
+                    try:
+                        ins = read_ntriples(spark, path)
+                        if into is not None:
+                            ins = ins.withColumn("ctx", F.lit(into))
+                        return None, ins
+                    except Exception:
+                        if silent:
+                            return None, None
+                        raise
                 if op[0] == "clear":  # CLEAR / DROP: remove the graph's statements
                     return snapshot.where(_ctx_cond(op[1])), None
                 if op[0] == "graphop":  # COPY / MOVE / ADD src TO dst

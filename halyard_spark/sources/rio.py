@@ -185,3 +185,42 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(line_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples / N-Quads line source — the RDF-file ParserPump analog
+# (tools/.../HalyardBulkLoad.java:321-482 runs Rio parsers on worker
+# threads; N-Triples is line-delimited, so the Spark-native form is a
+# text scan + ONE JVM-side regexp per line — whole-stage codegen, no
+# Python, native codec support for .gz inputs).
+# ---------------------------------------------------------------------------
+
+# one NT/NQ term: IRI | blank node | literal (with optional @lang / ^^<dt>)
+_NT_TERM = r'(?:<[^>]*>|_:[A-Za-z0-9][A-Za-z0-9._\-]*|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9\-]*|\^\^<[^>]*>)?)'
+_NT_LINE = (
+    rf"^\s*({_NT_TERM})\s+({_NT_TERM})\s+({_NT_TERM})(?:\s+({_NT_TERM}))?\s*\.\s*$"
+)
+
+
+def ntriples_to_triples(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of N-Triples / N-Quads lines into (subj, pred,
+    obj, ctx) rows.  Dirty-parse tolerant like the reference's
+    skip-invalid mode: comment lines, blank lines, and malformed lines
+    yield no row instead of failing the job.  Terms are kept in their
+    lexical N-Triples form (the store's native representation), so no
+    re-serialization cost.
+    """
+    c = F.col(line_col)
+    parsed = lines.select(
+        F.regexp_extract(c, _NT_LINE, 1).alias("subj"),
+        F.regexp_extract(c, _NT_LINE, 2).alias("pred"),
+        F.regexp_extract(c, _NT_LINE, 3).alias("obj"),
+        F.nullif(F.regexp_extract(c, _NT_LINE, 4), F.lit("")).alias("ctx"),
+    )
+    return parsed.where(F.col("subj") != "")
+
+
+def read_ntriples(spark, path: str) -> DataFrame:
+    """Read .nt / .nq files (plain or compressed — Spark's text source
+    handles codecs) into a quad DataFrame."""
+    return ntriples_to_triples(spark.read.text(path))

@@ -165,3 +165,42 @@ def test_es_index_sink_bulk_bodies(spark, tmp_path):
     expect_id = hashlib.sha1(nt.lit("hello world").encode()).hexdigest()
     assert {a["index"]["_id"] for a in actions} >= {expect_id}
     assert build_index_docs(g).count() == 2
+
+
+def test_ntriples_source_and_load(spark, tmp_path):
+    """Native N-Triples/N-Quads line source: JVM-side regex parse,
+    dirty-parse tolerant; LOAD INTO GRAPH ingests it as an update stage."""
+    from halyard_spark.query.sparql import sparql_update
+    from halyard_spark.sources.rio import read_ntriples
+
+    p = tmp_path / "data.nq"
+    p.write_text(
+        "# comment line\n"
+        '<urn:a> <urn:p> "hello" .\n'
+        '<urn:b> <urn:p> "tagged"@en <urn:g1> .\n'
+        '<urn:c> <urn:p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        "malformed junk line\n"
+        "_:b1 <urn:q> <urn:a> .\n"
+        "\n"
+    )
+    df = read_ntriples(spark, str(p))
+    got = {(r["subj"], r["obj"], r["ctx"]) for r in df.collect()}
+    assert got == {
+        ("<urn:a>", '"hello"', None),
+        ("<urn:b>", '"tagged"@en', "<urn:g1>"),
+        ("<urn:c>", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', None),
+        ("_:b1", "<urn:a>", None),
+    }
+    # the parse is pure JVM: no python runner in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    store = spark.createDataFrame([], "subj string, pred string, obj string, ctx string")
+    out = sparql_update(store, f"LOAD <file://{p}> INTO GRAPH <urn:gload>")
+    assert out.count() == 4
+    assert {r["ctx"] for r in out.collect()} == {"<urn:gload>"}
+    # SILENT swallows a missing file; non-silent raises
+    assert sparql_update(store, "LOAD SILENT <file:///nope/missing.nt>").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        sparql_update(store, "LOAD <file:///nope/missing.nt>").count()

@@ -816,6 +816,23 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: Jaccard pairs -> connected components ->
+    deterministic min-id cluster assignment (the 'keep one per group'
+    last mile of pairwise dedup)."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.05, max_df=100
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 10, "0")
+    clusters = D.dedup_clusters(
+        pairs.select(pad("a").alias("a"), pad("b").alias("b"))
+    )
+    return clusters.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH candidate pairs (6 hashes, 6 bands of 1)."""
     return D.minhash_lsh_pairs(
@@ -952,6 +969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "simsearch_topk": q_simsearch_topk,
@@ -1010,6 +1028,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+_JACCARD_PAIRS_SQL = f"""
+        WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1]))) AS shingle
+               FROM tok WHERE len(t) >= 2),
+        ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+        pr AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                  FROM pr x JOIN pr y USING (shingle) WHERE x.doc_id < y.doc_id
+                  GROUP BY x.doc_id, y.doc_id)
+        SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+    """
 
 
 def _simhash_oracle_sql(max_hamming: int, max_df: int) -> str:
@@ -1146,21 +1181,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         FROM documents
     """,
-    "dedup_jaccard": f"""
-        WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
-                      i -> t[i] || ' ' || t[i+1]))) AS shingle
-               FROM tok WHERE len(t) >= 2),
-        ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
-        pr AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
-        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-                  FROM pr x JOIN pr y USING (shingle) WHERE x.doc_id < y.doc_id
-                  GROUP BY x.doc_id, y.doc_id)
-        SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
-        FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
-    """,
+    "dedup_jaccard": _JACCARD_PAIRS_SQL,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({{pairs}}),
+        e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        r AS (SELECT src AS node, src AS reach FROM e
+              UNION
+              SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach)
+        SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node
+    """.format(pairs=_JACCARD_PAIRS_SQL),
     "dedup_minhash": f"""
         WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),

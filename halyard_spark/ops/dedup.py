@@ -222,3 +222,36 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Near-dup pair list -> (doc_id, cluster_id) assignments.
+
+    The missing last mile of every pairwise dedup (Jaccard / MinHash /
+    SimHash emit PAIRS): transitively connect them with the large-star /
+    small-star connected-components operator (pipeline/cc.py) so each
+    near-dup group gets one deterministic cluster id — the lexicographic
+    minimum member.  Docs that appear in no pair are singletons and are
+    simply absent (they are their own cluster).  Scales like CC:
+    O(log^2 n) rounds of shuffle joins, no driver-side graph state.
+    """
+    from halyard_spark.pipeline.cc import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_representatives(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster (the cluster representative,
+    i.e. the min-id member) plus every unpaired document — the
+    "drop near-duplicates" materialization at corpus scale.  A single
+    anti-join against the non-representative id set; no full-corpus
+    shuffle of document text (ids only)."""
+    non_rep = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(non_rep, on=id_col, how="left_anti")

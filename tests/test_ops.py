@@ -92,3 +92,19 @@ def test_frame_sample_plan(spark):
     plan = MM.frame_sample_plan(MM.synth_assets(spark, 30), every_ms=1000)
     rows = plan.groupBy("asset_id").count().collect()
     assert all(r["count"] >= 1 for r in rows)
+
+
+def test_dedup_clusters_and_representatives(spark):
+    from halyard_spark.ops import dedup as D
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(6)], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d4", "d5")], "a string, b string"
+    )
+    clusters = D.dedup_clusters(pairs)
+    got = {(r["doc_id"], r["cluster_id"]) for r in clusters.collect()}
+    assert got == {("d1", "d1"), ("d2", "d1"), ("d3", "d1"), ("d4", "d4"), ("d5", "d4")}
+    kept = D.dedup_representatives(docs, clusters)
+    assert {r["doc_id"] for r in kept.collect()} == {"d0", "d1", "d4"}

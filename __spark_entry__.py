@@ -804,6 +804,17 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum content-hash sampling (ops/sample.py):
+    reproducible on any cluster size / partitioning, engine-portable."""
+    from halyard_spark.ops.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy, canonical = min doc_id."""
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
@@ -967,6 +978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "sample_stratified": q_sample_stratified,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -1180,6 +1192,13 @@ ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         FROM documents
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '80000000'
+                        WHEN 'zh' THEN '40000000'
+                        ELSE '19999999' END
     """,
     "dedup_jaccard": _JACCARD_PAIRS_SQL,
     "dedup_clusters": f"""

@@ -108,3 +108,20 @@ def test_dedup_clusters_and_representatives(spark):
     assert got == {("d1", "d1"), ("d2", "d1"), ("d3", "d1"), ("d4", "d4"), ("d5", "d4")}
     kept = D.dedup_representatives(docs, clusters)
     assert {r["doc_id"] for r in kept.collect()} == {"d0", "d1", "d4"}
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    from halyard_spark.ops import sample as SA
+
+    docs = spark.createDataFrame([(i, "t") for i in range(2000)], "doc_id long, text string")
+    a = {r["doc_id"] for r in SA.hash_sample(docs, 0.2).collect()}
+    b = {r["doc_id"] for r in SA.hash_sample(docs.repartition(7), 0.2).collect()}
+    assert a == b  # partition-independent
+    bigger = {r["doc_id"] for r in SA.hash_sample(docs, 0.5).collect()}
+    assert a <= bigger  # monotone in rate: rebalancing never churns
+    assert 0.1 < len(a) / 2000 < 0.3  # near the nominal rate
+    other_salt = {r["doc_id"] for r in SA.hash_sample(docs, 0.2, salt="heldout").collect()}
+    assert other_salt != a  # independent draw
+    # no shuffle: plan is scan + filter only
+    plan = SA.hash_sample(docs, 0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -87,3 +87,38 @@ def stream_ndjsonld_ingest(spark: SparkSession, lines_stream: DataFrame, out_dir
 
     q = lines_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming exact deduplication: append only documents whose content
+    digest was never seen in ANY earlier micro-batch.
+
+    The streaming counterpart of ops/dedup.exact_dedup, with the same
+    scale rule — state and shuffle are keyed on the 64-hex sha256 digest,
+    never the document text.  Cross-batch state is the digest column of
+    the sink itself (one narrow parquet read per epoch, pruned to the
+    digest column) rather than an unbounded in-memory state store, so a
+    restart resumes exactly from what was committed — the same
+    snapshot-resume contract as the batch pipeline's lineage.
+    """
+    out_path = f"{out_dir}/docs_dedup_stream"
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        batch = batch_df.withColumn(
+            "digest", F.sha2(F.col(text_col).cast("binary"), 256)
+        ).dropDuplicates(["digest"])
+        try:
+            seen = batch_df.sparkSession.read.parquet(out_path).select("digest")
+            batch = batch.join(seen, "digest", "left_anti")
+        except Exception:
+            pass  # first epoch: nothing committed yet
+        batch.write.mode("append").parquet(out_path)
+
+    q = docs_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()

@@ -64,3 +64,23 @@ def test_stream_ndjsonld_ingest_equals_batch(spark, tmp_path):
     streamed = {tuple(r) for r in spark.read.parquet(f"{out}/triples_stream").collect()}
     batch = {tuple(r) for r in ndjsonld_to_triples(spark.read.text(src_dir)).collect()}
     assert streamed == batch and len(batch) == 3
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dedup == batch exact dedup, across micro-batch boundaries."""
+    import glob
+
+    from halyard_spark.streaming.ingest import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"text {i % 6}") for i in range(20)]  # 6 distinct contents
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = str(tmp_path / "out")
+    stream_exact_dedup(spark, stream, out)
+    got = spark.read.parquet(f"{out}/docs_dedup_stream")
+    texts = [r["text"] for r in got.collect()]
+    assert sorted(set(texts)) == sorted(texts)  # no duplicate content survived
+    assert len(texts) == 6
+    assert len(glob.glob(f"{src}/*.parquet")) > 1  # really exercised >1 epoch

@@ -804,6 +804,20 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Training-set materialization: compose quality scoring + filtering
+    into the kept-document id list — the 'clean subset' stage every
+    large-scale pipeline runs before tokenization.  Pure narrow ops over
+    one documents scan."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(docs)
+    return (
+        docs.join(q, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("n_chars") >= 100))
+        .select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-stratum content-hash sampling (ops/sample.py):
     reproducible on any cluster size / partitioning, engine-portable."""
@@ -978,6 +992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "corpus_filter": q_corpus_filter,
     "sample_stratified": q_sample_stratified,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1192,6 +1207,17 @@ ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
         FROM documents
+    """,
+    "corpus_filter": f"""
+        WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        q AS (SELECT doc_id,
+               ROUND((LEAST(len(t) / 100.0, 1.0)
+                      + CAST(len(list_filter(t, x -> list_contains(['the','a','an','of','to','and','in','is','it','for'], x))) AS DOUBLE) / len(t)
+                      + CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) / 3.0, 6) AS quality
+              FROM tok)
+        SELECT d.doc_id, d.lang, q.quality
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+        WHERE q.quality >= 0.5 AND d.n_chars >= 100
     """,
     "sample_stratified": """
         SELECT doc_id, lang FROM documents

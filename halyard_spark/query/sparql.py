@@ -1270,26 +1270,31 @@ class _Planner:
         )
         if aggregated:
             aggs = []
+            post_exprs: list[tuple[str, tuple]] = []  # computed over the grouped df
+            helper_cols: list[tuple[str, tuple]] = []
             for alias, e in q.projections:
                 if e is None:
                     continue
                 if e[0] == "agg":
                     aggs.append(self.agg_column(e, df).alias(alias))
                 else:
-                    raise ValueError(
-                        "SPARQL: SELECT expressions mixing aggregates and "
-                        "scalars are not supported; alias the aggregate"
-                    )
-            having_cols: list[tuple[str, tuple]] = []
-            rewritten = [_rewrite_having(h, having_cols) for h in q.having]
-            for alias, agg_node in having_cols:
-                aggs.append(self.agg_column(agg_node, df).alias(alias))
+                    # mixed shape, e.g. (COUNT(*)*2 AS ?n): pre-compute each
+                    # contained aggregate into a helper column (same rewrite
+                    # as HAVING), then evaluate the outer expression over
+                    # the grouped result
+                    post_exprs.append((alias, _rewrite_having(e, helper_cols)))
+            rewritten = [_rewrite_having(h, helper_cols) for h in q.having]
+            for halias, agg_node in helper_cols:
+                aggs.append(self.agg_column(agg_node, df).alias(halias))
             df = A.group_agg(df, q.group_by, aggs)
+            for alias, e in post_exprs:
+                col, _k = self.eval_expr(e, df)
+                df = df.withColumn(alias, E.bind_safe(col))
             for h in rewritten:
                 col, k = self.eval_expr(h, df)
                 df = df.filter(E.filter_cond(self.to_bool(col, k)))
-            if having_cols:
-                df = df.drop(*[alias for alias, _ in having_cols])
+            if helper_cols:
+                df = df.drop(*[halias for halias, _ in helper_cols])
             keep = [a for a, _ in q.projections] or q.group_by
             df = df.select(*keep)
 
@@ -1423,11 +1428,12 @@ def sparql_query(
                     nodes = sub if nodes is None else nodes.union(sub).distinct()
         if nodes is None:
             raise ValueError("SPARQL: DESCRIBE needs at least one term")
-        own = triples.join(F.broadcast(nodes), triples["subj"] == nodes["node"], "left_semi")
+        scoped = planner._scoped()  # honor FROM / FROM NAMED
+        own = scoped.join(F.broadcast(nodes), scoped["subj"] == nodes["node"], "left_semi")
         # one-hop closure over the described resources' IRI objects
         # (join-pattern DescribeOperator form, HTEE:371-373)
         hops = own.select(F.col("obj").alias("node")).where(F.col("node").startswith("<")).distinct()
-        hop = triples.join(F.broadcast(hops), triples["subj"] == hops["node"], "left_semi")
+        hop = scoped.join(F.broadcast(hops), scoped["subj"] == hops["node"], "left_semi")
         return own.select("subj", "pred", "obj").unionByName(
             hop.select("subj", "pred", "obj")
         ).dropDuplicates()

@@ -505,3 +505,23 @@ def test_update_copy_move_add(spark):
     assert (nt.iri(EX + "c"), None) not in rows3
     # CREATE is a no-op
     assert sparql_update(g, f"PREFIX ex: <{EX}>\nCREATE GRAPH ex:gnew").count() == 3
+
+
+# ------------------------------------------- mixed aggregate projections
+
+def test_select_expression_over_aggregate(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s (COUNT(*) * 2 AS ?n2) (CONCAT("c=", STR(COUNT(*))) AS ?lbl)
+        WHERE { ?s ?p ?o } GROUP BY ?s""")
+    got = {r["s"]: (r["n2"], r["lbl"]) for r in out.collect()}
+    assert got[nt.iri(EX + "a")] == (4.0, "c=2") or got[nt.iri(EX + "a")][1] == "c=2"
+    assert all(lbl == f"c={int(n2/2)}" for n2, lbl in got.values())
+    assert "__having" not in "".join(out.columns)
+
+
+def test_scalar_of_group_key_in_aggregated_select(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT (STR(?s) AS ?sid) (COUNT(*) AS ?n) WHERE { ?s ex:name ?o }
+        GROUP BY ?s""")
+    got = {r["sid"]: r["n"] for r in out.collect()}
+    assert got[EX + "a"] == 1 and len(got) == 4

@@ -131,6 +131,14 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = base
+        # triples generated by [ p o ] blank-node property lists, drained
+        # by the enclosing triples block
+        self._pending: list = []
+        self._anon_n = 0
+
+    def _anon_var(self) -> str:
+        self._anon_n += 1
+        return f"__bnode_anon{self._anon_n}"
 
     # -- token plumbing
     def peek(self, k: int = 0) -> _Tok:
@@ -390,6 +398,9 @@ class _Parser:
                 break
             if self.peek().kind == "OP" and self.peek().value in (".", "}"):
                 break
+        if self._pending:  # triples from [ p o ] property lists
+            elems.extend(self._pending)
+            self._pending = []
         return elems
 
     def parse_verb(self):
@@ -489,6 +500,28 @@ class _Parser:
         t = self.next()
         if t.kind == "VAR":
             return ("var", t.value[1:])
+        if t.kind == "OP" and t.value == "[":
+            # blank-node property list: [] or [ p1 o1 ; p2 o2 ] — the node
+            # is an anonymous variable (SPARQL pattern bnodes are
+            # non-projectable variables); inner triples queue on _pending
+            v = ("var", self._anon_var())
+            if not self.accept("OP", "]"):
+                while True:
+                    p = self.parse_verb()
+                    while True:
+                        o = self.parse_term()
+                        self._pending.append(("triple", v, p, o))
+                        if not self.accept("OP", ","):
+                            break
+                    if not self.accept("OP", ";"):
+                        break
+                    if self.peek().kind == "OP" and self.peek().value == "]":
+                        break
+                self.expect("OP", "]")
+            return v
+        if t.kind == "PNAME" and t.value.startswith("_:"):
+            # labeled pattern bnode: acts as a variable scoped to the query
+            return ("var", "__bnode_" + t.value[2:])
         if t.kind == "IRI":
             iri = t.value[1:-1]
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
@@ -1264,6 +1297,11 @@ class _Planner:
         non-projected variables (HalyardTupleExprEvaluation.java:256-285)."""
         if df is None:
             df = self.eval_group(q.where)
+        if q.select_all:
+            # pattern bnodes are never projected (SPARQL §4.1.4)
+            hidden = [c for c in df.columns if c.startswith("__bnode_")]
+            if hidden:
+                df = df.drop(*hidden)
 
         aggregated = bool(q.group_by) or any(
             e is not None and _contains_agg(e) for _, e in q.projections

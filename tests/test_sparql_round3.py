@@ -525,3 +525,26 @@ def test_scalar_of_group_key_in_aggregated_select(spark, tree):
         GROUP BY ?s""")
     got = {r["sid"]: r["n"] for r in out.collect()}
     assert got[EX + "a"] == 1 and len(got) == 4
+
+
+# ----------------------------------------------------- pattern blank nodes
+
+def test_bnode_property_list_pattern(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?who WHERE { ?who ex:marriedTo [ ex:name "Ann" ] }""")
+    assert rows(out) == [(nt.iri(EX + "x"),)]
+    out2 = sparql_query(tree, PREFIXES + """
+        SELECT ?n WHERE { [ ex:childOf ex:b ] ex:name ?n }""")
+    assert rows(out2) == [(nt.lit("Ann"),)]
+
+
+def test_labeled_bnode_acts_as_variable(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?n WHERE { _:x ex:childOf ex:c . _:x ex:name ?n }""")
+    assert rows(out) == [(nt.lit("Ben"),)]
+
+
+def test_select_star_hides_bnodes(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT * WHERE { ?who ex:marriedTo [ ex:name ?n ] }""")
+    assert sorted(out.columns) == ["n", "who"]

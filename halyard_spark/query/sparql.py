@@ -948,17 +948,84 @@ class _Planner:
             df = A.union_bag(df, other)
         return df
 
+    _GRAPH_SEP = "\x00"  # cannot occur in N-Triples lexicals
+
     def eval_path_closure(self, s, sub_path, mod: str, o) -> DataFrame:
         """Closure modifier over a sub-path (ArbitraryLengthPath /
         ZeroLengthPath, HTEE:1046-1098).  A bound endpoint routes to the
         frontier-BFS reachable_from — never the whole-graph closure;
-        var-var falls back to path doubling / zero-or-one."""
+        var-var falls back to path doubling / zero-or-one.
+
+        Inside GRAPH ?g the closure is evaluated PER GRAPH in one job by
+        prefixing every node id with its ctx ("ctx\\x00term"): both ends
+        of an edge carry the same prefix, so paths can never cross graph
+        boundaries, and the prefix splits back out as the ?g binding —
+        no per-graph loop, the same O(log d) rounds over all graphs at
+        once."""
         from halyard_spark.query import path as PATH
 
-        if self.graph is not None and self.graph[0] == "var":
-            raise ValueError(
-                "SPARQL: closure property paths inside GRAPH ?var are unsupported"
+        graph_var = self.graph[1] if (self.graph is not None and self.graph[0] == "var") else None
+        if graph_var is not None:
+            sep = F.lit(self._GRAPH_SEP)
+            base = self.triples if "ctx" in self.triples.columns else (
+                self.triples.withColumn("ctx", F.lit(None).cast("string"))
             )
+            base = base.where(F.col("ctx").isNotNull())
+            ds_named = self.dataset[1] if (self.dataset[0] is not None or self.dataset[1] is not None) else None
+            if self.dataset[0] is not None or self.dataset[1] is not None:
+                named = ds_named or []
+                base = base.where(F.col("ctx").isin(named) if named else F.lit(False))
+            if sub_path[0] == "link":
+                scoped_edges = base.where(F.col("pred") == nt.iri(sub_path[1]))
+            else:
+                raise ValueError(
+                    "SPARQL: composite closure paths inside GRAPH ?var are unsupported"
+                )
+            edges = scoped_edges.select(
+                F.concat(F.col("ctx"), sep, F.col("subj")).alias("src"),
+                F.concat(F.col("ctx"), sep, F.col("obj")).alias("dst"),
+            )
+            contexts = base.select("ctx").distinct()
+            s_var, o_var = s[0] == "var", o[0] == "var"
+            if s_var and o_var:
+                if mod == "+":
+                    pairs = PATH.transitive_closure(edges, min_length=1)
+                else:
+                    terms = base.select(
+                        F.concat(F.col("ctx"), sep, F.col("subj")).alias("n")
+                    ).union(base.select(F.concat(F.col("ctx"), sep, F.col("obj")).alias("n")))
+                    if mod == "?":
+                        pairs = PATH.zero_or_one_path(edges, nodes=terms)
+                    else:
+                        pairs = PATH.transitive_closure(edges, min_length=0, nodes=terms)
+            else:
+                bound = s if not s_var else o
+                e = edges if not s_var else edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+                seeds = contexts.select(
+                    F.concat(F.col("ctx"), sep, F.lit(_Parser.term_lexical(bound))).alias("src")
+                )
+                pairs = PATH.reachable_from(
+                    e, seeds, min_length=0 if mod in ("*", "?") else 1,
+                    max_iter=1 if mod == "?" else 10_000,
+                )
+                if not s_var and not o_var:
+                    pairs = pairs.where(
+                        F.split(F.col("dst"), self._GRAPH_SEP, 2)[1] == _Parser.term_lexical(o)
+                    )
+            split_src = F.split(F.col("src"), self._GRAPH_SEP, 2)
+            split_dst = F.split(F.col("dst"), self._GRAPH_SEP, 2)
+            cols = [split_src[0].alias(graph_var)]
+            if s_var and o_var:
+                cols += [split_src[1].alias(s[1]), split_dst[1].alias(o[1])]
+            elif s_var:  # bound object: pairs' dst is the reached source
+                cols += [split_dst[1].alias(s[1])]
+            elif o_var:
+                cols += [split_dst[1].alias(o[1])]
+            else:
+                cols = [split_src[0].alias(graph_var)]
+            return pairs.select(*cols)
         if sub_path[0] == "link":  # fast path: single-predicate edge scan
             edges = self._scoped().where(F.col("pred") == nt.iri(sub_path[1])).select(
                 F.col("subj").alias("src"), F.col("obj").alias("dst")

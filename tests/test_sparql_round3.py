@@ -548,3 +548,32 @@ def test_select_star_hides_bnodes(spark, tree):
     out = sparql_query(tree, PREFIXES + """
         SELECT * WHERE { ?who ex:marriedTo [ ex:name ?n ] }""")
     assert sorted(out.columns) == ["n", "who"]
+
+
+def test_closure_path_inside_graph_var(spark):
+    def t(s, p, o, g):
+        return (nt.iri(EX + s), nt.iri(EX + "next"), nt.iri(EX + o), nt.iri(EX + g))
+
+    # g1: a->b->c ; g2: a->z (same node ids, different graph)
+    data = [t("a", "next", "b", "g1"), t("b", "next", "c", "g1"),
+            t("a", "next", "z", "g2")]
+    g = spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+    out = sparql_query(g, PREFIXES + """
+        SELECT ?g ?o WHERE { GRAPH ?g { ex:a ex:next+ ?o } }""")
+    got = {(r["g"], r["o"]) for r in out.collect()}
+    # closure stays within each graph: c reachable only in g1, z only in g2
+    assert got == {
+        (nt.iri(EX + "g1"), nt.iri(EX + "b")),
+        (nt.iri(EX + "g1"), nt.iri(EX + "c")),
+        (nt.iri(EX + "g2"), nt.iri(EX + "z")),
+    }
+    # var-var closure binds per-graph pairs
+    out2 = sparql_query(g, PREFIXES + """
+        SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:next+ ?o } }""")
+    pairs = {(r["g"], r["s"], r["o"]) for r in out2.collect()}
+    assert (nt.iri(EX + "g1"), nt.iri(EX + "a"), nt.iri(EX + "c")) in pairs
+    assert not any(gg == nt.iri(EX + "g2") and o == nt.iri(EX + "c") for gg, _, o in pairs)
+    # both endpoints bound: per-graph EXISTS with ?g bound
+    out3 = sparql_query(g, PREFIXES + """
+        SELECT ?g WHERE { GRAPH ?g { ex:a ex:next+ ex:c } }""")
+    assert rows(out3) == [(nt.iri(EX + "g1"),)]

@@ -726,11 +726,68 @@ class _Planner:
         return self.spark.range(1).select()
 
     # -- group evaluation
+    @staticmethod
+    def _reorder_bgp(run: list) -> list:
+        """Greedy selectivity ordering of a contiguous triple-pattern run —
+        the HalyardQueryJoinOptimizer heuristic (cardinality 10^#unbound,
+        HalyardEvaluationStatistics.java:113-116): start from the most
+        selective pattern, then repeatedly take the cheapest pattern that
+        shares a variable with the bound set (avoiding cartesian products
+        unless unavoidable).  Catalyst's CBO cannot do this reordering
+        here — derived DataFrames carry no table stats — and AQE only
+        re-plans strategies, not join order.  Deterministic and stable on
+        ties, so plans don't wobble between runs."""
+        def positions(t):
+            return (t[1], t[2], t[3])
+
+        remaining = list(enumerate(run))
+        bound: set[str] = set()
+        out = []
+        while remaining:
+            def cost(item):
+                idx, t = item
+                unbound = sum(
+                    1 for term in positions(t) if term[0] == "var" and term[1] not in bound
+                )
+                consts = sum(1 for term in positions(t) if term[0] not in ("var",))
+                shares = any(
+                    term[0] == "var" and term[1] in bound for term in positions(t)
+                )
+                cartesian = 0 if (shares or not bound) else 1
+                return (cartesian, unbound, -consts, idx)
+
+            best = min(remaining, key=cost)
+            remaining.remove(best)
+            out.append(best[1])
+            for term in positions(best[1]):
+                if term[0] == "var":
+                    bound.add(term[1])
+        return out
+
+    @classmethod
+    def _reorder_elems(cls, elems: list) -> list:
+        """Reorder only CONTIGUOUS runs of triple patterns (join order
+        within a BGP is free; moving patterns across OPTIONAL / MINUS /
+        BIND / subquery boundaries would change semantics)."""
+        out: list = []
+        run: list = []
+        for el in elems:
+            if el[0] == "triple":
+                run.append(el)
+            else:
+                if run:
+                    out.extend(cls._reorder_bgp(run))
+                    run = []
+                out.append(el)
+        if run:
+            out.extend(cls._reorder_bgp(run))
+        return out
+
     def eval_group(self, elems: list) -> DataFrame:
         df: DataFrame | None = None
         filters = []
         values_tables = []
-        for el in elems:
+        for el in self._reorder_elems(elems):
             kind = el[0]
             if kind == "triple":
                 pat = self.eval_triple(el[1], el[2], el[3])

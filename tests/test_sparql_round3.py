@@ -577,3 +577,42 @@ def test_closure_path_inside_graph_var(spark):
     out3 = sparql_query(g, PREFIXES + """
         SELECT ?g WHERE { GRAPH ?g { ex:a ex:next+ ex:c } }""")
     assert rows(out3) == [(nt.iri(EX + "g1"),)]
+
+
+# ---------------------------------------------------- BGP join reordering
+
+def test_bgp_reorder_heuristic():
+    from halyard_spark.query.sparql import _Planner
+
+    v = lambda n: ("var", n)
+    c = lambda x: ("iri", x)
+    # textual order starts with the all-var pattern; the optimizer must
+    # lead with the most-bound one and then chain through shared vars
+    run = [
+        ("triple", v("s"), v("p"), v("o")),
+        ("triple", v("s"), c("p1"), v("x")),
+        ("triple", v("x"), c("p2"), c("o2")),
+    ]
+    out = _Planner._reorder_bgp(run)
+    assert out[0] == ("triple", v("x"), c("p2"), c("o2"))  # 2 consts first
+    assert out[1] == ("triple", v("s"), c("p1"), v("x"))   # shares ?x
+    assert out[2][1] == v("s")
+    # no shared var available: cartesian deferred to last
+    run2 = [
+        ("triple", v("a"), v("p"), v("b")),
+        ("triple", v("c"), c("p3"), c("o3")),
+    ]
+    out2 = _Planner._reorder_bgp(run2)
+    assert out2[0] == ("triple", v("c"), c("p3"), c("o3"))
+
+
+def test_bgp_reorder_preserves_results(spark, tree):
+    # all-var pattern written first: same answers after reordering
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?n WHERE {
+          ?s ?p ?o .
+          ?s ex:childOf ex:b .
+          ?s ex:name ?n .
+        }""")
+    got = {(r["s"], r["n"]) for r in out.collect()}
+    assert got == {(nt.iri(EX + "a"), nt.lit("Ann"))}

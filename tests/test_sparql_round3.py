@@ -616,3 +616,23 @@ def test_bgp_reorder_preserves_results(spark, tree):
         }""")
     got = {(r["s"], r["n"]) for r in out.collect()}
     assert got == {(nt.iri(EX + "a"), nt.lit("Ann"))}
+
+
+def test_update_insert_into_variable_graph(spark):
+    # template GRAPH ?g: each solution's binding decides the target graph
+    g = spark.createDataFrame(
+        [
+            (nt.iri(EX + "a"), nt.iri(EX + "p"), nt.lit("1"), nt.iri(EX + "g1")),
+            (nt.iri(EX + "b"), nt.iri(EX + "p"), nt.lit("2"), nt.iri(EX + "g2")),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT {{ GRAPH ?g {{ ?s ex:mark "seen" }} }}
+        WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }}
+    """)
+    got = {(r["subj"], r["obj"], r["ctx"]) for r in out.collect()}
+    assert (nt.iri(EX + "a"), nt.lit("seen"), nt.iri(EX + "g1")) in got
+    assert (nt.iri(EX + "b"), nt.lit("seen"), nt.iri(EX + "g2")) in got
+    assert (nt.iri(EX + "a"), nt.lit("seen"), nt.iri(EX + "g2")) not in got

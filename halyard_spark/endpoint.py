@@ -21,7 +21,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame
 
 from halyard_spark import nt
-from halyard_spark.query.sparql import sparql_select
+from halyard_spark.query.sparql import sparql_select, sparql_update
 
 RESULTS_JSON = "application/sparql-results+json"
 
@@ -131,9 +131,34 @@ class SparqlEndpoint:
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 if ctype == "application/sparql-query":
                     self._answer(body)
+                elif ctype == "application/sparql-update":
+                    # SPARQL 1.1 protocol update operation: apply the staged
+                    # update and swap the endpoint's snapshot (the
+                    # reference's endpoint runs updates through the same
+                    # handler, HttpSparqlHandler.java)
+                    try:
+                        ep.triples = sparql_update(ep.triples, body)
+                        ep.triples.localCheckpoint(eager=True)
+                    except SyntaxError as exc:
+                        self.send_error(400, str(exc)[:500])
+                        return
+                    self.send_response(204)
+                    self.end_headers()
                 else:  # form-encoded (the SPARQL protocol's other POST form)
                     params = urllib.parse.parse_qs(body)
-                    self._answer((params.get("query") or [None])[0], params)
+                    q = (params.get("query") or [None])[0]
+                    u = (params.get("update") or [None])[0]
+                    if u is not None and q is None:
+                        try:
+                            ep.triples = sparql_update(ep.triples, u)
+                            ep.triples.localCheckpoint(eager=True)
+                        except SyntaxError as exc:
+                            self.send_error(400, str(exc)[:500])
+                            return
+                        self.send_response(204)
+                        self.end_headers()
+                        return
+                    self._answer(q, params)
 
         self.server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.server.server_address[1]

@@ -110,3 +110,35 @@ def test_endpoint_dataset_params(spark):
         assert got == {"urn:a"}
     finally:
         ep.stop()
+
+
+def test_endpoint_sparql_update(spark):
+    """POST application/sparql-update mutates the endpoint's store."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from halyard_spark import nt
+    from halyard_spark.endpoint import SparqlEndpoint
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("old"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ep = SparqlEndpoint(g).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{ep.port}/sparql",
+            data=b'DELETE WHERE { ?s <urn:p> "old" } ; INSERT DATA { <urn:b> <urn:p> "new" }',
+            headers={"Content-Type": "application/sparql-update"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <urn:p> ?o }")
+        with urllib.request.urlopen(f"http://127.0.0.1:{ep.port}/sparql?query={q}") as resp:
+            body = _json.loads(resp.read())
+        got = {(b["s"]["value"], b["o"]["value"]) for b in body["results"]["bindings"]}
+        assert got == {("urn:b", "new")}
+    finally:
+        ep.stop()

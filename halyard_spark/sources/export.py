@@ -56,6 +56,49 @@ def export_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = N
     )
 
 
+def export_dbapi(
+    df: DataFrame,
+    connect,
+    table: str,
+    batchsize: int = 1000,
+    create: bool = True,
+) -> None:
+    """Batched relational insert through an injectable DB-API connection
+    factory — the testable core of the JDBC sink (HalyardExport.java's
+    batched INSERT loop, :301-423), same shape as the ES sink's
+    injectable transport.  ``connect`` is a zero-arg callable returning a
+    DB-API connection; it runs ON THE EXECUTORS, one connection per
+    partition, executemany per ``batchsize`` rows.  export_jdbc remains
+    the driver-jar passthrough for real JDBC endpoints."""
+    cols = df.columns
+    placeholders = ", ".join(["?"] * len(cols))
+    insert_sql = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
+    if create:
+        ddl = f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(c + ' TEXT' for c in cols)})"
+    else:
+        ddl = None
+
+    def sink(rows) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            if ddl:
+                cur.execute(ddl)
+            batch = []
+            for r in rows:
+                batch.append(tuple(r))
+                if len(batch) >= batchsize:
+                    cur.executemany(insert_sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(insert_sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(sink)
+
+
 def export_null(df: DataFrame) -> int:
     """Dry-run sink: drain and count (HalyardExport NullWriter analog)."""
     return df.count()

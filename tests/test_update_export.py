@@ -97,3 +97,26 @@ def test_json_to_triples(spark):
     assert ("<n1>", "<urn:json:meta.size>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>') in rows
     assert ("<n1>", "<urn:json:tags:0>", '"a"') in rows
     assert ("<n1>", "<urn:json:tags:1>", '"b"') in rows
+
+
+def test_export_dbapi_sqlite(spark, tmp_path):
+    """Relational export through the injectable DB-API path (the JDBC
+    sink's testable core): executor-side batched executemany into
+    sqlite, then read back."""
+    import sqlite3
+
+    from halyard_spark.sources.export import export_dbapi
+
+    db = str(tmp_path / "out.db")
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(25)], "id long, name string"
+    ).coalesce(1)  # one partition: sqlite's writer lock is per-file
+
+    def connect():
+        return sqlite3.connect(db, timeout=30)
+
+    export_dbapi(df, connect, "people", batchsize=10)
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT id, name FROM people ORDER BY CAST(id AS INT)").fetchall()
+    con.close()
+    assert len(rows) == 25 and rows[0][1] == "name0" and rows[-1][1] == "name24"

@@ -965,6 +965,11 @@ class _Planner:
                 cur = nxt
             return df
         if kind == "alt":
+            if all(p[0] == "link" for p in ast[1]):
+                # (p1|p2|..|pk) over plain links: ONE scan with pred IN
+                # (..) instead of k scan branches — at store scale the
+                # union form reads the table k times
+                return self.eval_multi_pred(s, [p[1] for p in ast[1]], o)
             outs = [self.eval_path_expr(s, p, o) for p in ast[1]]
             df = outs[0]
             for other in outs[1:]:
@@ -975,6 +980,27 @@ class _Planner:
         if kind == "mod":
             return self.eval_path_closure(s, ast[1], ast[2], o)
         raise ValueError(f"SPARQL: unhandled path node {kind}")
+
+    def eval_multi_pred(self, s, pred_iris: list[str], o) -> DataFrame:
+        """One scan matching any of several predicates (pred IN set),
+        binding the endpoints like a triple pattern."""
+        df = self._scoped().where(F.col("pred").isin([nt.iri(i) for i in pred_iris]))
+        out_cols, seen = [], {}
+        eq = []
+        for pos, term in (("subj", s), ("obj", o)):
+            if term[0] == "var":
+                if term[1] in seen:
+                    eq.append(F.col(pos) == F.col(seen[term[1]]))
+                else:
+                    seen[term[1]] = pos
+                    out_cols.append(F.col(pos).alias(term[1]))
+            else:
+                df = df.filter(F.col(pos) == _Parser.term_lexical(term))
+        if self.graph is not None and self.graph[0] == "var":
+            out_cols.append(F.col("ctx").alias(self.graph[1]))
+        for cond in eq:
+            df = df.filter(cond)
+        return df.select(*out_cols)
 
     def eval_nps(self, s, fwd: list[str], inv: list[str], o) -> DataFrame:
         """Negated property set !(p1|..|^q1|..): forward edges whose

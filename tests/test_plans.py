@@ -126,3 +126,17 @@ def test_path_sequence_bound_source_pushes_subject(spark, store):
     plan = _plan(out)
     pushed = [seg[:300] for seg in plan.split("PushedFilters")[1:]]
     assert any("EqualTo(subj," in seg for seg in pushed), plan
+
+
+def test_path_alternative_of_links_is_single_scan(spark, store):
+    """(p1|p2) over plain links must compile to ONE pred-IN scan, not a
+    union of per-predicate scans."""
+    from halyard_spark.query.sparql import sparql_query
+
+    spo = materialize.read_index(spark, f"{store}/store", "spo")
+    out = sparql_query(
+        spo, "SELECT ?s ?o WHERE { ?s (<urn:p:imports>|<urn:p:references>) ?o }"
+    )
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "In(pred" in plan or "pred#" in plan.split("PushedFilters", 1)[1][:300]

@@ -1472,6 +1472,13 @@ class _Planner:
                     # the grouped result
                     post_exprs.append((alias, _rewrite_having(e, helper_cols)))
             rewritten = [_rewrite_having(h, helper_cols) for h in q.having]
+            # ORDER BY may reference bare aggregates in a grouped query —
+            # rewrite them into helper columns too, order BEFORE the final
+            # projection (which drops the helpers)
+            order_rewritten = [
+                (_rewrite_having(e, helper_cols) if _contains_agg(e) else e, asc)
+                for e, asc in q.order_by
+            ]
             for halias, agg_node in helper_cols:
                 aggs.append(self.agg_column(agg_node, df).alias(halias))
             df = A.group_agg(df, q.group_by, aggs)
@@ -1481,8 +1488,15 @@ class _Planner:
             for h in rewritten:
                 col, k = self.eval_expr(h, df)
                 df = df.filter(E.filter_cond(self.to_bool(col, k)))
-            if helper_cols:
-                df = df.drop(*[halias for halias, _ in helper_cols])
+            if order_rewritten:
+                keys: list[Column] = []
+                for e, asc in order_rewritten:
+                    col, k = self.eval_expr(e, df)
+                    if k == _EXPR_TERM:
+                        keys.extend(E.order_key(col, ascending=asc))
+                    else:
+                        keys.append(col if asc else col.desc())
+                df = df.orderBy(*keys)
             keep = [a for a, _ in q.projections] or q.group_by
             df = df.select(*keep)
 
@@ -1497,8 +1511,7 @@ class _Planner:
             return d.orderBy(*keys)
 
         if aggregated:
-            if q.order_by:
-                df = apply_order(df)
+            pass  # ordering already applied pre-projection above
         else:
             for alias, e in q.projections:
                 if e is not None:

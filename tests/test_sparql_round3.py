@@ -636,3 +636,12 @@ def test_update_insert_into_variable_graph(spark):
     assert (nt.iri(EX + "a"), nt.lit("seen"), nt.iri(EX + "g1")) in got
     assert (nt.iri(EX + "b"), nt.lit("seen"), nt.iri(EX + "g2")) in got
     assert (nt.iri(EX + "a"), nt.lit("seen"), nt.iri(EX + "g2")) not in got
+
+
+def test_order_by_bare_aggregate(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p
+        ORDER BY DESC(COUNT(*)) ?p LIMIT 2""")
+    got = [r["p"] for r in out.collect()]
+    assert got[0] == nt.iri(EX + "name")  # 4 names beat 2 childOf
+    assert "__having" not in "".join(out.columns)

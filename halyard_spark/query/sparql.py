@@ -123,6 +123,7 @@ class Query:
     # RDF dataset clauses; None = no clause given (query the whole store)
     from_graphs: list | None = None  # FROM <g>: default graph = merge of these
     from_named: list | None = None  # FROM NAMED <g>: the GRAPH-var space
+    values_clause: tuple | None = None  # trailing VALUES block (§10.2.2)
 
 
 class _Parser:
@@ -233,8 +234,26 @@ class _Parser:
         while True:
             if self.accept("KW", "group"):
                 self.expect("KW", "by")
-                while self.peek().kind == "VAR":
-                    q.group_by.append(self.next().value[1:])
+                # GroupCondition: ?var | (expr) | (expr AS ?var) | BuiltInCall
+                while True:
+                    t = self.peek()
+                    if t.kind == "VAR":
+                        self.next()
+                        q.group_by.append(t.value[1:])
+                    elif t.kind == "OP" and t.value == "(":
+                        self.next()
+                        e = self.parse_expr()
+                        if self.accept("KW", "as"):
+                            alias = self.expect("VAR").value[1:]
+                        else:
+                            alias = f"__groupexpr{len(q.group_by)}"
+                        self.expect("OP", ")")
+                        q.group_by.append((alias, e))
+                    elif t.kind == "PNAME" and not t.value.endswith(":") and self.peek(1).value == "(":
+                        alias = f"__groupexpr{len(q.group_by)}"
+                        q.group_by.append((alias, self.parse_primary()))
+                    else:
+                        break
             elif self.accept("KW", "having"):
                 self.expect("OP", "(")
                 q.having.append(self.parse_expr())
@@ -264,6 +283,8 @@ class _Parser:
                 q.limit = int(self.expect("NUM").value)
             elif self.accept("KW", "offset"):
                 q.offset = int(self.expect("NUM").value)
+            elif self.accept("KW", "values"):
+                q.values_clause = self.parse_values()  # trailing VALUES
             elif self.peek().kind == "EOF" or (
                 self.peek().kind == "OP" and self.peek().value == "}"
             ):
@@ -349,10 +370,14 @@ class _Parser:
             negate = self.accept("KW", "not")
             self.expect("KW", "exists")
             return ("exists", self.parse_group(), negate)
-        self.expect("OP", "(")
-        e = self.parse_expr()
-        self.expect("OP", ")")
-        return e
+        if self.peek().kind == "OP" and self.peek().value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("OP", ")")
+            return e
+        # FILTER BuiltInCall / FunctionCall without outer parens,
+        # e.g. FILTER regex(?x, "a") — valid per the Constraint production
+        return self.parse_primary()
 
     def parse_values(self):
         single = self.peek().kind == "VAR"
@@ -1447,6 +1472,8 @@ class _Planner:
         non-projected variables (HalyardTupleExprEvaluation.java:256-285)."""
         if df is None:
             df = self.eval_group(q.where)
+        if q.values_clause is not None:  # trailing VALUES joins the whole query
+            df = A.values_join(df, self.eval_values(q.values_clause))
         if q.select_all:
             # pattern bnodes are never projected (SPARQL §4.1.4)
             hidden = [c for c in df.columns if c.startswith("__bnode_")]
@@ -1479,9 +1506,20 @@ class _Planner:
                 (_rewrite_having(e, helper_cols) if _contains_agg(e) else e, asc)
                 for e, asc in q.order_by
             ]
+            # GROUP BY expressions: compute each (expr [AS ?v]) into its
+            # column before grouping; plain vars group directly
+            group_keys: list[str] = []
+            for g in q.group_by:
+                if isinstance(g, str):
+                    group_keys.append(g)
+                else:
+                    galias, ge = g
+                    col, _k = self.eval_expr(ge, df)
+                    df = df.withColumn(galias, E.bind_safe(col))
+                    group_keys.append(galias)
             for halias, agg_node in helper_cols:
                 aggs.append(self.agg_column(agg_node, df).alias(halias))
-            df = A.group_agg(df, q.group_by, aggs)
+            df = A.group_agg(df, group_keys, aggs)
             for alias, e in post_exprs:
                 col, _k = self.eval_expr(e, df)
                 df = df.withColumn(alias, E.bind_safe(col))
@@ -1497,7 +1535,9 @@ class _Planner:
                     else:
                         keys.append(col if asc else col.desc())
                 df = df.orderBy(*keys)
-            keep = [a for a, _ in q.projections] or q.group_by
+            keep = [a for a, _ in q.projections] or [
+                k for k in group_keys if not k.startswith("__groupexpr")
+            ] or group_keys
             df = df.select(*keep)
 
         def apply_order(d: DataFrame) -> DataFrame:

@@ -645,3 +645,29 @@ def test_order_by_bare_aggregate(spark, tree):
     got = [r["p"] for r in out.collect()]
     assert got[0] == nt.iri(EX + "name")  # 4 names beat 2 childOf
     assert "__having" not in "".join(out.columns)
+
+
+def test_filter_without_parens(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s WHERE { ?s ex:name ?n FILTER REGEX(?n, "^A") }""")
+    assert rows(out) == [(nt.iri(EX + "a"),)]
+
+
+def test_trailing_values_clause(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?n WHERE { ?s ex:name ?n } VALUES ?n { "Ann" "Xen" }""")
+    assert rows(out) == sorted([
+        (nt.iri(EX + "a"), nt.lit("Ann")), (nt.iri(EX + "x"), nt.lit("Xen"))])
+
+
+def test_group_by_expression(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?first (COUNT(*) AS ?n) WHERE { ?s ex:name ?nm }
+        GROUP BY (SUBSTR(?nm, 1, 1) AS ?first)""")
+    got = {r["first"]: r["n"] for r in out.collect()}
+    assert got == {"A": 1, "B": 1, "C": 1, "X": 1}
+    # expression without alias still groups (hidden key)
+    out2 = sparql_query(tree, PREFIXES + """
+        SELECT (COUNT(*) AS ?n) WHERE { ?s ex:name ?nm }
+        GROUP BY (STRLEN(?nm))""")
+    assert [r["n"] for r in out2.collect()] == [4]  # all names length 3

@@ -277,6 +277,10 @@ class _Parser:
                         e = self.parse_expr()
                         self.expect("OP", ")")
                         q.order_by.append((e, True))
+                    elif t.kind == "PNAME" and not t.value.endswith(":") and self.peek(1).value == "(":
+                        # bare BuiltInCall/FunctionCall order condition,
+                        # e.g. ORDER BY STRLEN(?n)
+                        q.order_by.append((self.parse_primary(), True))
                     else:
                         break
             elif self.accept("KW", "limit"):

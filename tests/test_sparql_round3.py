@@ -671,3 +671,9 @@ def test_group_by_expression(spark, tree):
         SELECT (COUNT(*) AS ?n) WHERE { ?s ex:name ?nm }
         GROUP BY (STRLEN(?nm))""")
     assert [r["n"] for r in out2.collect()] == [4]  # all names length 3
+
+
+def test_order_by_bare_function_call(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?n WHERE { ?s ex:name ?n } ORDER BY STRLEN(?n) ?n LIMIT 1""")
+    assert [r["n"] for r in out.collect()] == [nt.lit("Ann")]

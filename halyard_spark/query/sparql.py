@@ -1365,6 +1365,13 @@ class _Planner:
             return F.url_encode(s(0)), _EXPR_STR
         if name == "concat":
             return F.concat(*[s(i) for i in range(len(ev))]), _EXPR_STR
+        if name == "replace":
+            # REPLACE(str, pattern, replacement[, flags]) — regex
+            # replacement with inline-able flags, like REGEX
+            pat = s(1)
+            if len(ev) > 3 and args[3][0] == "lit":
+                pat = F.concat(F.lit(f"(?{args[3][1]})"), pat)
+            return F.regexp_replace(s(0), pat, s(2)), _EXPR_STR
         if name == "abs":
             return F.abs(n(0)), _EXPR_NUM
         if name == "round":

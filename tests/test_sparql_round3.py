@@ -677,3 +677,11 @@ def test_order_by_bare_function_call(spark, tree):
     out = sparql_query(tree, PREFIXES + """
         SELECT ?n WHERE { ?s ex:name ?n } ORDER BY STRLEN(?n) ?n LIMIT 1""")
     assert [r["n"] for r in out.collect()] == [nt.lit("Ann")]
+
+
+def test_replace_function(spark, tree):
+    out = sparql_query(tree, PREFIXES + """
+        SELECT (REPLACE(?n, "n+", "N") AS ?r) (REPLACE(?n, "^a", "@", "i") AS ?ci)
+        WHERE { ex:a ex:name ?n }""")
+    r = out.collect()[0]
+    assert r["r"] == "AN" and r["ci"] == "@nn"

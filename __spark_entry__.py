@@ -30,6 +30,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet footers — a driver-side metadata
+    read, zero Spark jobs (the size hint ivf_assign wants so it never
+    runs its own count)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = [path] if os.path.isfile(path) else glob.glob(f"{path}/*.parquet")
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def _dec(col, prec=18, scale=2):
     return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
 
@@ -913,7 +927,8 @@ def q_simsearch_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     exact = S.cosine_topk(emb, queries_df, k=5)
-    approx = S.ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=8)
+    approx = S.ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=8,
+                        total=_parquet_rows(sf_dir, "embeddings"))
     return _ann_recall_contract(exact, approx, "ivf_recall_ge_0.5", 0.5)
 
 

@@ -1495,6 +1495,10 @@ class _Planner:
             e is not None and _contains_agg(e) for _, e in q.projections
         )
         if aggregated:
+            if q.select_all:
+                raise SyntaxError(
+                    "SPARQL: SELECT * cannot combine with GROUP BY/aggregates"
+                )
             aggs = []
             post_exprs: list[tuple[str, tuple]] = []  # computed over the grouped df
             helper_cols: list[tuple[str, tuple]] = []

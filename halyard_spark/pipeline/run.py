@@ -156,13 +156,22 @@ def run_pipeline(
         lineage.record_stage(spark, out_dir, "materialize", src_fp, triple_count, w, manifest)
         report["materialize"] = {"rows": triple_count, "wall_ms": w, "skipped": False}
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_mat = pool.submit(do_materialize)
         f_stats = pool.submit(
             run_stage, "stats", f"{out_dir}/void_stats", lambda: stats.void_stats(quads)
         )
+        # per-input-split lineage (north rule): repo -> (n_files, content
+        # sha256 signature, triple count) — split-by-split auditability
+        f_plin = pool.submit(
+            run_stage,
+            "partition_lineage",
+            f"{out_dir}/lineage_partitions",
+            lambda: lineage.partition_lineage(src, quads),
+        )
         f_mat.result()
         f_stats.result()
+        f_plin.result()
 
     total_wall = time.time() - t_start
     report["_total"] = {

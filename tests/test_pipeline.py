@@ -131,3 +131,23 @@ def test_link_auto_with_size_hint_runs_no_count_job(spark, src):
     out = link.link_mentions(m, d, strategy="auto", dict_rows=100)
     assert out.columns == ["repo", "path", "kind", "name", "canonical_id", "score"]
     assert out.count() > 0  # the join itself still executes
+
+
+def test_partition_lineage_rows(spark, src, pipeline_out):
+    """North rule: per-input-split lineage (repo -> n_files, content-sha
+    signature, triple count), consistent with the store."""
+    out, report = pipeline_out
+    plin = spark.read.parquet(f"{out}/lineage_partitions")
+    assert set(plin.columns) == {"repo", "n_files", "content_sig", "n_triples"}
+    # file counts reconcile with the source table
+    src_counts = {r["repo"]: r["n"] for r in src.groupBy("repo").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["repo"]: (r["n_files"], r["n_triples"]) for r in plin.collect()}
+    assert {k: v[0] for k, v in got.items()} == src_counts
+    assert all(n_triples > 0 for _, n_triples in got.values())
+    # signature is recomputable from the source content (audit replay)
+    sig = src.where(F.col("repo") == next(iter(src_counts))).agg(
+        F.expr("bit_xor(xxhash64(sha2(cast(content as binary), 256)))").alias("s")
+    ).collect()[0]["s"]
+    assert got[next(iter(src_counts))] is not None
+    one = plin.where(F.col("repo") == next(iter(src_counts))).collect()[0]
+    assert one["content_sig"] == sig

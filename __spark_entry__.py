@@ -180,9 +180,16 @@ def q_optional_left_join(spark, sf_dir):
 
 
 def q_minus_no_orders(spark, sf_dir):
-    """MINUS (SPARQL difference) -> anti join on shared vars (SURVEY §2.3)."""
+    """MINUS (SPARQL difference) -> anti join on shared vars (SURVEY §2.3).
+
+    Restricted to a recent order window so the difference is non-empty at
+    every SF (every custkey has *some* order in this generator)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return A.minus(c, o)
 
 
@@ -827,7 +834,7 @@ def q_corpus_filter(spark, sf_dir):
     q = TX.quality_score(docs)
     return (
         docs.join(q, "doc_id")
-        .where((F.col("quality") >= 0.5) & (F.col("n_chars") >= 100))
+        .where((F.col("quality") >= 0.35) & (F.col("n_chars") >= 100))
         .select("doc_id", "lang", F.round("quality", 6).alias("quality"))
     )
 
@@ -994,37 +1001,47 @@ def q_multimodal_features(spark, sf_dir):
     return MM.decode_features(assets).select("asset_id", "kind", "n_bytes")
 
 
+# Ordered so entries with NO prior driver-side CORRECTNESS row come
+# first (the driver samples a prefix of this dict); entries green in
+# multiple past rounds rotate to the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q3_shipping_priority": q_q3_shipping_priority,
-    "q5_local_supplier": q_q5_local_supplier,
+    # --- never driver-checked through r3: SPARQL text front-end + path algebra
+    "sparql_graph": q_sparql_graph,
+    "sparql_graph_const": q_sparql_graph_const,
+    "path_sequence": q_path_sequence,
+    "path_alternative": q_path_alternative,
+    "path_inverse": q_path_inverse,
+    "path_negated": q_path_negated,
+    "sparql_subquery": q_sparql_subquery,
+    "sparql_service": q_sparql_service,
+    "sparql_from": q_sparql_from,
+    "values_undef": q_values_undef,
+    "sparql_having_mixed": q_sparql_having_mixed,
+    "fulltext_scan": q_fulltext_scan,
+    "sparql_construct": q_sparql_construct,
+    "sparql_filter_order": q_sparql_filter_order,
+    "sparql_optional_values": q_sparql_optional_values,
+    "sparql_bgp_group": q_sparql_bgp_group,
+    # --- de-vacuousized this round (must show spark_rows > 0)
+    "corpus_filter": q_corpus_filter,
+    "minus_no_orders": q_minus_no_orders,
+    # --- remaining catalog
+    "kg_void_stats": q_kg_void_stats,
+    "summary_log2": q_summary_log2,
+    "window_topk_group": q_window_topk_group,
+    "multimodal_features": q_multimodal_features,
     "path_zero_or_one": q_path_zero_or_one,
     "rollup_agg": q_rollup_agg,
     "pivot_status": q_pivot_status,
     "quantile_prices": q_quantile_prices,
     "kg_describe": q_kg_describe,
     "json_props": q_json_props,
-    "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "corpus_filter": q_corpus_filter,
     "sample_stratified": q_sample_stratified,
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "simsearch_topk": q_simsearch_topk,
-    "simsearch_lsh": q_simsearch_lsh,
-    "simsearch_ivf": q_simsearch_ivf,
     "events_sessionize": q_events_sessionize,
     "events_window_agg": q_events_window_agg,
     "stream_window_agg": q_stream_window_agg,
-    "multimodal_features": q_multimodal_features,
-    "q1_pricing_summary": q_q1_pricing_summary,
     "bgp_join_region": q_bgp_join_region,
     "optional_left_join": q_optional_left_join,
-    "minus_no_orders": q_minus_no_orders,
     "intersection_semi": q_intersection_semi,
     "union_bag": q_union_bag,
     "values_bind": q_values_bind,
@@ -1039,6 +1056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_from_source": q_path_from_source,
     "path_from_source_min2": q_path_from_source_min2,
     "cc_components": q_cc_components,
+    # --- long-green tail (multi-round driver history)
     "expr_string_math": q_expr_string_math,
     "expr_hash": q_expr_hash,
     "regex_like": q_regex_like,
@@ -1047,25 +1065,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exists_filter": q_exists_filter,
     "kg_triples": q_kg_triples,
     "kg_bgp": q_kg_bgp,
-    "sparql_bgp_group": q_sparql_bgp_group,
-    "sparql_filter_order": q_sparql_filter_order,
-    "sparql_optional_values": q_sparql_optional_values,
-    "sparql_construct": q_sparql_construct,
-    "sparql_graph": q_sparql_graph,
-    "sparql_graph_const": q_sparql_graph_const,
-    "path_sequence": q_path_sequence,
-    "path_alternative": q_path_alternative,
-    "path_inverse": q_path_inverse,
-    "path_negated": q_path_negated,
-    "sparql_subquery": q_sparql_subquery,
-    "sparql_service": q_sparql_service,
-    "sparql_from": q_sparql_from,
-    "values_undef": q_values_undef,
-    "sparql_having_mixed": q_sparql_having_mixed,
-    "fulltext_scan": q_fulltext_scan,
-    "kg_void_stats": q_kg_void_stats,
-    "summary_log2": q_summary_log2,
-    "window_topk_group": q_window_topk_group,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_local_supplier": q_q5_local_supplier,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "simsearch_topk": q_simsearch_topk,
+    "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
 }
 
 
@@ -1232,7 +1246,7 @@ ORACLES: dict[str, str] = {
               FROM tok)
         SELECT d.doc_id, d.lang, q.quality
         FROM documents d JOIN q ON d.doc_id = q.doc_id
-        WHERE q.quality >= 0.5 AND d.n_chars >= 100
+        WHERE q.quality >= 0.35 AND d.n_chars >= 100
     """,
     "sample_stratified": """
         SELECT doc_id, lang FROM documents
@@ -1326,7 +1340,9 @@ ORACLES: dict[str, str] = {
     """,
     "minus_no_orders": """
         SELECT c_custkey FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01')
     """,
     "intersection_semi": """
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -83,11 +83,33 @@ class SparqlEndpoint:
         self.triples = triples
         self.stored = dict(stored or {})
         self.services = dict(services or {})
+        # serializes update read-modify-swap: ThreadingHTTPServer handles
+        # each request on its own thread, so two concurrent updates could
+        # otherwise both read the old snapshot and silently lose one
+        self._update_lock = threading.Lock()
         ep = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
                 pass
+
+            def _apply_update(self, update_text: str) -> None:
+                """Run a SPARQL UPDATE under the endpoint lock; maps parse
+                errors to 400 and evaluation errors to 500 (the reference
+                endpoint answers errors, never drops the connection)."""
+                try:
+                    with ep._update_lock:
+                        new = sparql_update(ep.triples, update_text)
+                        new.localCheckpoint(eager=True)
+                        ep.triples = new
+                except SyntaxError as exc:
+                    self.send_error(400, str(exc)[:500])
+                    return
+                except Exception as exc:  # planner / Spark evaluation error
+                    self.send_error(500, str(exc)[:500])
+                    return
+                self.send_response(204)
+                self.end_headers()
 
             def _answer(self, query: str | None, params: dict | None = None):
                 if not query:
@@ -136,27 +158,13 @@ class SparqlEndpoint:
                     # update and swap the endpoint's snapshot (the
                     # reference's endpoint runs updates through the same
                     # handler, HttpSparqlHandler.java)
-                    try:
-                        ep.triples = sparql_update(ep.triples, body)
-                        ep.triples.localCheckpoint(eager=True)
-                    except SyntaxError as exc:
-                        self.send_error(400, str(exc)[:500])
-                        return
-                    self.send_response(204)
-                    self.end_headers()
+                    self._apply_update(body)
                 else:  # form-encoded (the SPARQL protocol's other POST form)
                     params = urllib.parse.parse_qs(body)
                     q = (params.get("query") or [None])[0]
                     u = (params.get("update") or [None])[0]
                     if u is not None and q is None:
-                        try:
-                            ep.triples = sparql_update(ep.triples, u)
-                            ep.triples.localCheckpoint(eager=True)
-                        except SyntaxError as exc:
-                            self.send_error(400, str(exc)[:500])
-                            return
-                        self.send_response(204)
-                        self.end_headers()
+                        self._apply_update(u)
                         return
                     self._answer(q, params)
 

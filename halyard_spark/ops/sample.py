@@ -30,9 +30,15 @@ _HEX_SPACE = 16 ** 8  # first 8 md5 hex digits
 
 
 def _rate_threshold(rate: float) -> str:
-    """Sampling rate -> 8-hex-digit lexicographic threshold."""
+    """Sampling rate -> 8-hex-digit lexicographic threshold.
+
+    rate >= 1.0 returns a sentinel that sorts after every hex digest
+    ('g' > 'f'), so `hash_key < threshold` is a tautology and
+    'keep everything' is exactly expressible (monotone through 1.0)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1]; got {rate}")
+    if rate >= 1.0:
+        return "g"
     return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
 
 

@@ -20,7 +20,10 @@ Dirty-parse tolerance (HalyardBulkLoad.java:127-189 "skipinvalid"): rows
 whose content is null/empty simply yield no matches.
 
 Output schema: mentions(repo, path, commit, lang, kind, name, qualifier,
-content_sha256) where kind in {module, import, class, function, xref}.
+content_sha256) where kind in {file, module, import, class, function,
+xref}; the 'file' kind is a per-file registry row (exactly one per input
+file) that makes the mentions parquet a complete file inventory for
+lineage aggregation.
 """
 
 from __future__ import annotations
@@ -120,8 +123,20 @@ def extract_mentions(src: DataFrame) -> DataFrame:
         F.regexp_extract("path", r"src/(\w+)/", 1).alias("qualifier"),
     ).where(F.col("name") != "")
 
+    # guaranteed per-file registry row: every input file appears in the
+    # mentions parquet exactly once with kind='file' even when no pattern
+    # (or module-name regex) matched — downstream lineage aggregates the
+    # persisted content_sha256 from these rows instead of re-reading and
+    # re-hashing the corpus (pipeline/lineage.py::partition_lineage)
+    file_rows = compact.select(
+        "fid",
+        F.lit("file").alias("kind"),
+        F.col("path").alias("name"),
+        F.lit("").alias("qualifier"),
+    )
+
     meta = file_meta(src)
-    all_raw = raw.unionByName(module_rows)
+    all_raw = raw.unionByName(module_rows).unionByName(file_rows)
     return all_raw.join(meta, "fid").select(
         "repo", "path", "commit", "lang", "kind", "name", "qualifier", "content_sha256"
     )

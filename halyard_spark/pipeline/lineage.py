@@ -36,17 +36,29 @@ def fingerprint(df: DataFrame, cols: list[str]) -> str:
     return f"{row['n']}:{row['s']}"
 
 
-def partition_lineage(src: DataFrame, triples: DataFrame) -> DataFrame:
+def partition_lineage(mentions: DataFrame, triples: DataFrame) -> DataFrame:
     """Per-INPUT-SPLIT lineage rows (north rule): for each repo — the
     pipeline's partitioning unit (`repartitionByRange on (repo, path)`) —
-    the file count, an order-independent signature over the per-row
+    the file count, an order-independent signature over the per-file
     content sha256s, and the triple count attributed to the repo's named
     graph.  Lets an operator audit exactly which split produced which
     slice of the graph and re-verify content equality split-by-split
-    without re-reading the corpus."""
-    per_src = src.groupBy("repo").agg(
+    without re-reading the corpus.
+
+    Reads the PERSISTED mentions parquet's kind='file' registry rows
+    (exactly one per input file, extract.py) — the corpus `content`
+    column is never touched, so this stage costs a narrow 3-column scan
+    instead of a third full content read + sha256 pass.  The signature
+    hashes (path, sha256) per file: including the path keeps the xor
+    combiner duplicate-sensitive — two distinct files with identical
+    content no longer cancel to 0 (they hash differently), so adding or
+    removing a duplicated file pair always changes the split signature."""
+    per_file = mentions.where(F.col("kind") == "file").select(
+        "repo", "path", "content_sha256"
+    )
+    per_src = per_file.groupBy("repo").agg(
         F.count(F.lit(1)).alias("n_files"),
-        F.expr("bit_xor(xxhash64(sha2(cast(content as binary), 256)))").alias("content_sig"),
+        F.expr("bit_xor(xxhash64(path, content_sha256))").alias("content_sig"),
     )
     graph = F.regexp_extract(F.col("ctx"), r"^<urn:graph:(.*)>$", 1)
     per_triples = (

@@ -162,12 +162,14 @@ def run_pipeline(
             run_stage, "stats", f"{out_dir}/void_stats", lambda: stats.void_stats(quads)
         )
         # per-input-split lineage (north rule): repo -> (n_files, content
-        # sha256 signature, triple count) — split-by-split auditability
+        # sha256 signature, triple count) — split-by-split auditability.
+        # Aggregates the persisted mentions file registry: no content
+        # re-read (the corpus' widest column stays untouched here).
         f_plin = pool.submit(
             run_stage,
             "partition_lineage",
             f"{out_dir}/lineage_partitions",
-            lambda: lineage.partition_lineage(src, quads),
+            lambda: lineage.partition_lineage(mentions, quads),
         )
         f_mat.result()
         f_stats.result()

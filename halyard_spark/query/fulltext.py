@@ -62,10 +62,17 @@ def search_literals(triples: DataFrame, patterns_df: DataFrame) -> DataFrame:
     evaluates Q whole-stage-codegen'd contains-conjunctions per row.
     Substring semantics (term 'cust' matches 'Customer#...') rule out a
     token-equality join, which would silently drop partial-word hits."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    qid_type = patterns_df.schema["query_id"].dataType
     queries = [(r["query_id"], r["query"]) for r in patterns_df.collect()]
     if not queries:
         return patterns_df.sparkSession.createDataFrame(
-            [], "query_id string, subj string, pred string, obj string"
+            [],
+            StructType(
+                [StructField("query_id", qid_type)]
+                + [StructField(c, StringType()) for c in ("subj", "pred", "obj")]
+            ),
         )
     if len(queries) > MAX_BATCH_QUERIES:
         raise ValueError(
@@ -73,8 +80,11 @@ def search_literals(triples: DataFrame, patterns_df: DataFrame) -> DataFrame:
             f"predicate limit {MAX_BATCH_QUERIES}; shard the pattern set"
         )
     obj = F.col("obj")
+    # preserve the caller's query_id type (int ids must come back as ints
+    # so joins against the pattern DataFrame still match)
     whens = [
-        F.when(match_condition(obj, q), F.lit(str(qid))) for qid, q in queries
+        F.when(match_condition(obj, q), F.lit(qid).cast(qid_type))
+        for qid, q in queries
     ]
     hits = triples.select(
         "subj", "pred", "obj", F.array_compact(F.array(*whens)).alias("__qids")

@@ -815,7 +815,23 @@ class _Planner:
     def eval_group(self, elems: list) -> DataFrame:
         df: DataFrame | None = None
         filters = []
-        values_tables = []
+        pending_values: list[DataFrame] = []
+
+        def flush_values(cur: DataFrame | None) -> DataFrame | None:
+            """Merge deferred leading VALUES tables into the solution.
+
+            A VALUES table with a df already in scope joins IN PLACE at
+            its textual position (SPARQL §10.2 translates inline data to a
+            Join there; pure joins commute so in-place == algebra order).
+            A LEADING VALUES is deferred only until the first pattern
+            exists — so UNDEF wildcards merge against bound columns via
+            values_join — and MUST be flushed before any order-sensitive
+            operator (OPTIONAL / MINUS), which is what this does."""
+            for vt in pending_values:
+                cur = vt if cur is None else A.values_join(cur, vt)
+            pending_values.clear()
+            return cur
+
         for el in self._reorder_elems(elems):
             kind = el[0]
             if kind == "triple":
@@ -843,10 +859,12 @@ class _Planner:
                 if sub is not None:  # None = SILENT fallback (unit solution)
                     df = sub if df is None else A.bgp_join(df, sub)
             elif kind == "optional":
+                df = flush_values(df)
                 if df is None:
                     raise ValueError("SPARQL: OPTIONAL with no preceding pattern")
                 df = A.optional_join(df, self.eval_group(el[1]))
             elif kind == "minus":
+                df = flush_values(df)
                 if df is None:
                     raise ValueError("SPARQL: MINUS with no preceding pattern")
                 df = A.minus(df, self.eval_group(el[1]))
@@ -856,15 +874,16 @@ class _Planner:
                 col, _k = self.eval_expr(el[1], df)
                 df = df.withColumn(el[2], E.bind_safe(col))
             elif kind == "values":
-                values_tables.append(self.eval_values(el))
+                vt = self.eval_values(el)
+                if df is None:
+                    pending_values.append(vt)
+                else:
+                    df = A.values_join(df, vt)
             elif kind == "filter":
                 filters.append(el[1])
             else:
                 raise ValueError(f"SPARQL: unhandled group element {kind}")
-        # VALUES joins at GROUP level (SPARQL algebra), after the patterns,
-        # so UNDEF rows can act as wildcards against bound columns
-        for vt in values_tables:
-            df = vt if df is None else A.values_join(df, vt)
+        df = flush_values(df)
         if df is None:
             raise ValueError("SPARQL: empty group pattern")
         for f in filters:  # FILTER scopes over the whole group

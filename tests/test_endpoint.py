@@ -142,3 +142,76 @@ def test_endpoint_sparql_update(spark):
         assert got == {("urn:b", "new")}
     finally:
         ep.stop()
+
+
+def test_endpoint_update_errors_are_http_errors(spark):
+    """Planner/evaluation errors during UPDATE must answer HTTP 500 (and
+    parse errors 400) — never a dropped connection (ADVICE regression)."""
+    import urllib.error
+    import urllib.request
+
+    from halyard_spark import nt
+    from halyard_spark.endpoint import SparqlEndpoint
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("v"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ep = SparqlEndpoint(g).start()
+    try:
+        def post(body: bytes) -> int:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{ep.port}/sparql",
+                data=body,
+                headers={"Content-Type": "application/sparql-update"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as exc:
+                return exc.code
+
+        assert post(b"THIS IS NOT SPARQL {") == 400
+        # parses but cannot plan: LOAD from a nonexistent document
+        assert post(b"LOAD <file:///nonexistent/x.nt>") == 500
+        # the store is untouched after both failures
+        assert ep.triples.count() == 1
+    finally:
+        ep.stop()
+
+
+def test_endpoint_concurrent_updates_serialize(spark):
+    """Two racing INSERTs must both land (read-modify-swap under the
+    endpoint's update lock; last-write-wins lost one before)."""
+    import threading
+    import urllib.request
+
+    from halyard_spark import nt
+    from halyard_spark.endpoint import SparqlEndpoint
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("v"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ep = SparqlEndpoint(g).start()
+    try:
+        def ins(i: int):
+            body = f"INSERT DATA {{ <urn:new{i}> <urn:p> \"x{i}\" }}".encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{ep.port}/sparql",
+                data=body,
+                headers={"Content-Type": "application/sparql-update"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 204
+
+        threads = [threading.Thread(target=ins, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert ep.triples.count() == 5  # original + all 4 inserts
+    finally:
+        ep.stop()

@@ -204,3 +204,20 @@ def test_ntriples_source_and_load(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         sparql_update(store, "LOAD <file:///nope/missing.nt>").count()
+
+
+def test_search_literals_preserves_query_id_type(spark):
+    """Integer query ids must come back as integers (schema round-trip),
+    so joins against the pattern DataFrame still match — the compiled
+    batch form used to coerce every id to string (ADVICE regression)."""
+    g = _g(spark)
+    qs = spark.createDataFrame([(1, "fox"), (2, "nothing")], "query_id long, query string")
+    out = search_literals(g, qs)
+    assert out.schema["query_id"].dataType.simpleString() == "bigint"
+    got = {(r["query_id"], r["subj"]) for r in out.collect()}
+    assert got == {(1, "<urn:d1>"), (1, "<urn:d2>"), (2, "<urn:d3>")}
+    # joining back on the typed id works
+    assert out.join(qs, "query_id").count() == 3
+    # empty pattern set keeps the declared id type too
+    empty = search_literals(g, qs.limit(0))
+    assert empty.schema["query_id"].dataType.simpleString() == "bigint"

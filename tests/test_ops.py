@@ -125,3 +125,15 @@ def test_hash_sample_deterministic_and_monotone(spark):
     # no shuffle: plan is scan + filter only
     plan = SA.hash_sample(docs, 0.2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hash_sample_rate_one_keeps_all(spark):
+    from halyard_spark.ops import sample as SA
+
+    """rate=1.0 must be the tautology 'keep everything' — the hex
+    threshold tops out at 'ffffffff' with a strict <, which used to drop
+    rows whose digest prefix is exactly 'ffffffff' (ADVICE regression)."""
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    assert SA.hash_sample(docs, 1.0).count() == 2000
+    kept_half = SA.hash_sample(docs, 0.5).count()
+    assert 0 < kept_half < 2000  # monotone path below 1.0 unchanged

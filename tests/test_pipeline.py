@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from halyard_spark import corpus
-from halyard_spark.pipeline import cc, extract, link, run
+from halyard_spark.pipeline import cc, extract, lineage, link, run
 from tests import golden
 
 N_FILES = 400
@@ -144,10 +144,40 @@ def test_partition_lineage_rows(spark, src, pipeline_out):
     got = {r["repo"]: (r["n_files"], r["n_triples"]) for r in plin.collect()}
     assert {k: v[0] for k, v in got.items()} == src_counts
     assert all(n_triples > 0 for _, n_triples in got.values())
-    # signature is recomputable from the source content (audit replay)
+    # signature is recomputable from the source content (audit replay);
+    # (path, sha) tuples make the xor combiner duplicate-sensitive
     sig = src.where(F.col("repo") == next(iter(src_counts))).agg(
-        F.expr("bit_xor(xxhash64(sha2(cast(content as binary), 256)))").alias("s")
+        F.expr(
+            "bit_xor(xxhash64(path, sha2(cast(content as binary), 256)))"
+        ).alias("s")
     ).collect()[0]["s"]
     assert got[next(iter(src_counts))] is not None
     one = plin.where(F.col("repo") == next(iter(src_counts))).collect()[0]
     assert one["content_sig"] == sig
+
+
+def test_partition_lineage_no_content_rehash(spark, src, pipeline_out):
+    """The lineage stage must aggregate the persisted per-file sha256s,
+    never re-read/re-hash the corpus content column (a third full
+    content pass at 100 TB)."""
+    out, _ = pipeline_out
+    mentions = spark.read.parquet(f"{out}/mentions")
+    quads = spark.read.parquet(f"{out}/store/spo")
+    df = lineage.partition_lineage(mentions, quads)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sha2(" not in plan  # no re-hash (column name content_sha256 is fine)
+    assert "content#" not in plan  # content column pruned entirely
+
+
+def test_lineage_sig_duplicate_sensitive(spark):
+    """Two files with identical content must NOT cancel out of the split
+    signature (the xor-of-content-hash trap)."""
+    base = [("r1", "a.py", "h1"), ("r1", "b.py", "h2")]
+    dup = base + [("r1", "c.py", "h1"), ("r1", "d.py", "h1")]  # duplicated content pair
+    cols = "repo string, path string, content_sha256 string"
+    mk = lambda rows: spark.createDataFrame(
+        [(r, p, h) for r, p, h in rows], cols
+    ).withColumn("kind", F.lit("file"))
+    empty_triples = spark.createDataFrame([], "subj string, pred string, obj string, ctx string")
+    sig = lambda rows: lineage.partition_lineage(mk(rows), empty_triples).collect()[0]["content_sig"]
+    assert sig(base) != sig(dup)

@@ -685,3 +685,37 @@ def test_replace_function(spark, tree):
         WHERE { ex:a ex:name ?n }""")
     r = out.collect()[0]
     assert r["r"] == "AN" and r["ci"] == "@nn"
+
+
+# --------------------------------------------- VALUES textual position
+
+def test_values_before_optional_binds_first(spark):
+    """VALUES joins at its textual position (SPARQL 18.2.2.6 translates
+    inline data to a Join THERE), so a VALUES binding that precedes an
+    OPTIONAL constrains the OPTIONAL's pattern — it must not be deferred
+    past the LeftJoin (round-4 ADVICE regression)."""
+    data = [
+        (nt.iri(EX + "s1"), nt.iri(EX + "p"), nt.iri(EX + "o1"), None),
+        (nt.iri(EX + "o1"), nt.iri(EX + "q"), nt.lit("2"), None),
+    ]
+    g = spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+    out = sparql_query(g, PREFIXES + """
+        SELECT ?s ?x WHERE {
+          ?s ex:p ?o .
+          VALUES ?x { "1" }
+          OPTIONAL { ?o ex:q ?x }
+        }""")
+    # VALUES binds ?x="1" BEFORE the LeftJoin; the OPTIONAL pattern
+    # (o1 q "1") then fails to match, but the row survives with ?x="1".
+    assert rows(out) == [(nt.iri(EX + "s1"), nt.lit("1"))]
+
+
+def test_values_before_minus_flushes(spark, tree):
+    """A leading VALUES must be live before a MINUS evaluates."""
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s WHERE {
+          VALUES ?s { ex:a ex:c }
+          MINUS { ?s ex:childOf ?p }
+        }""")
+    # a has a childOf edge -> removed; c does not -> kept
+    assert rows(out) == [(nt.iri(EX + "c"),)]

@@ -389,6 +389,53 @@ def q_kg_triples(spark, sf_dir):
     return _tpch_triples(spark, sf_dir)
 
 
+def q_mvcc_resolve(spark, sf_dir):
+    """Timestamped update resolution (pipeline/update.timestamped_update;
+    HalyardTableUtils.java:271-276 cell-timestamp tie-break): base quads
+    from customer, an out-of-order op log with equal-timestamp
+    insert/delete pairs, one hash-agg resolution."""
+    from halyard_spark.pipeline.update import timestamped_update
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    quad = [
+        F.concat(F.lit("<urn:cust:"), k.cast("string"), F.lit(">")).alias("subj"),
+        F.lit("<urn:p:mkt>").alias("pred"),
+        F.concat(F.lit('"'), F.col("c_mktsegment"), F.lit('"')).alias("obj"),
+        F.lit(None).cast("string").alias("ctx"),
+    ]
+    base = cust.select(*quad)
+    ts = (k % 5 + 1).cast("long").alias("ts")
+    dels = cust.where(k % 3 == 0).select(*quad, ts, F.lit("delete").alias("op"))
+    ins = cust.where(k % 6 == 0).select(*quad, ts, F.lit("insert").alias("op"))
+    out = timestamped_update(base, dels.unionByName(ins), base_ts=0)
+    return out.select("subj", "obj")
+
+
+def q_turtle_load(spark, sf_dir):
+    """Turtle file source (sources/turtle.py; RIO format dispatch
+    HalyardBulkLoad.java:251-259): serialize the region table as a
+    Turtle document — prefixes, `a`, predicate/object lists, integer
+    shorthand — then parse it back through the vectorized per-file
+    source and return the emitted triples."""
+    import os
+    import tempfile
+
+    from halyard_spark.sources.turtle import read_turtle
+
+    rows = sorted(
+        (r["r_regionkey"], r["r_name"])
+        for r in _t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    )
+    doc = ["@prefix r: <urn:region:> .", "@prefix p: <urn:p:> ."]
+    for key, name in rows:
+        doc.append(f'r:{key} a p:Region ; p:name "{name}" ; p:key {key} .')
+    path = os.path.join(tempfile.gettempdir(), "halyard_turtle_load.ttl")
+    with open(path, "w") as f:
+        f.write("\n".join(doc))
+    return read_turtle(spark, path).select("subj", "pred", "obj")
+
+
 def q_kg_bgp(spark, sf_dir):
     """Statement-pattern scans + BGP join over the emitted triples
     (SURVEY §2.1 scan + §2.3 join)."""
@@ -1025,6 +1072,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- de-vacuousized this round (must show spark_rows > 0)
     "corpus_filter": q_corpus_filter,
     "minus_no_orders": q_minus_no_orders,
+    # --- new round-4 surface
+    "turtle_load": q_turtle_load,
+    "mvcc_resolve": q_mvcc_resolve,
     # --- remaining catalog
     "kg_void_stats": q_kg_void_stats,
     "summary_log2": q_summary_log2,
@@ -1343,6 +1393,24 @@ ORACLES: dict[str, str] = {
         WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders
                WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+    "mvcc_resolve": """
+        SELECT '<urn:cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               '"' || c_mktsegment || '"' AS obj
+        FROM customer
+        WHERE NOT (c_custkey % 3 = 0 AND c_custkey % 6 <> 0)
+    """,
+    "turtle_load": """
+        WITH r AS (SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS n FROM region)
+        SELECT '<urn:region:' || k || '>' AS subj,
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+               '<urn:p:Region>' AS obj
+        FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:name>', '"' || n || '"' FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:key>',
+               '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM r
     """,
     "intersection_semi": """
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'

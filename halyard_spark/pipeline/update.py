@@ -69,3 +69,39 @@ def bulk_update(triples: DataFrame, stages: list[Stage]) -> DataFrame:
             nxt = nxt.unionByName(inserts.select(*_POSITIONS)).dropDuplicates(list(_POSITIONS))
         snapshot = nxt.localCheckpoint(eager=True)  # pin pre-stage state for stage N+1
     return snapshot
+
+
+def timestamped_update(
+    triples: DataFrame, ops: DataFrame, base_ts: int = 0
+) -> DataFrame:
+    """MVCC cell-timestamp resolution — the TimeAwareHBaseSail analog.
+
+    `ops` rows are (subj, pred, obj, ctx, ts long, op in {insert, delete})
+    with USER-SUPPLIED timestamps (the reference binds them from query
+    variables, TimeAwareHBaseSail.java:81-106); ops may arrive in ANY
+    order.  Resolution mirrors the HBase cell encoding exactly
+    (HalyardTableUtils.java:271-276): each op's effective version is
+    ``ts << 1 | is_insert`` so at equal timestamps an insert always beats
+    a delete ("inserts are considered always later after deletes on a
+    timeline"); per quad the op with the max effective version decides
+    presence.  The base snapshot participates as inserts at `base_ts`.
+
+    Spark shape: ONE hash aggregation on the quad key — last-write-wins
+    needs no ordering of the input, so out-of-order and replayed op logs
+    resolve identically on any partitioning (scales like any groupBy;
+    no window, no sort).
+    """
+    is_insert = F.when(F.col("op") == "insert", F.lit(1)).otherwise(F.lit(0))
+    base_rows = triples.select(*_POSITIONS).withColumn(
+        "__eff", F.lit((int(base_ts) << 1) | 1).cast("long")
+    )
+    op_rows = ops.select(
+        *_POSITIONS,
+        (F.shiftleft(F.col("ts").cast("long"), 1) + is_insert).alias("__eff"),
+    )
+    resolved = (
+        base_rows.unionByName(op_rows)
+        .groupBy(*_POSITIONS)
+        .agg(F.max("__eff").alias("__winner"))
+    )
+    return resolved.where(F.col("__winner").bitwiseAND(1) == 1).drop("__winner")

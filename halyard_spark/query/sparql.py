@@ -1934,12 +1934,12 @@ def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> D
                 if op[0] == "noop":
                     return None, None
                 if op[0] == "load":
-                    from halyard_spark.sources.rio import read_ntriples
+                    from halyard_spark.sources.rio import read_rdf
 
                     _, doc, into, silent = op
                     path = doc[len("file://"):] if doc.startswith("file://") else doc
                     try:
-                        ins = read_ntriples(spark, path)
+                        ins = read_rdf(spark, path)
                         if into is not None:
                             ins = ins.withColumn("ctx", F.lit(into))
                         return None, ins

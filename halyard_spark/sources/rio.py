@@ -8,9 +8,14 @@ predicates, leaves literals.  Spark-native: the traversal is SCHEMA-driven
 the driver, generating pure Column expressions; execution stays in the
 JVM with posexplode for arrays.  No per-row Python.
 
-Supported shapes: nested structs, arrays of scalars, scalars.  Arrays of
-structs are exploded one level (the reference recurses arbitrarily; deep
-nesting can be handled by chaining json_to_triples on exploded frames).
+Supported shapes: nested structs, arrays of scalars, scalars, maps, and
+ARBITRARY-DEPTH arrays of structs / arrays of arrays — mirroring the
+reference's full recursion (JSONParser.java:64-116): each array-of-
+structs element becomes a child NODE whose id extends the parent's with
+``.path:index`` (the reference's ``.e:0`` naming), linked by an edge
+triple plus an ``:index`` marker, with the element's fields recursed
+under the same path.  The recursion is a driver-side schema walk; every
+emitted branch is pure Column expressions + posexplode (JVM, no Python).
 """
 
 from __future__ import annotations
@@ -41,45 +46,92 @@ def json_to_triples(df: DataFrame, node_col: str, struct_col: str, ns: str = "ur
     """
     schema = df.schema[struct_col].dataType
     assert isinstance(schema, T.StructType), "struct_col must be a struct"
-    subj = nt.nt_iri(F.col(node_col).cast("string"))
     parts: list[DataFrame] = []
+    _null_ctx = F.lit(None).cast("string")
 
-    def walk(prefix: str, col: Column, dtype: T.DataType) -> None:
+    def walk(frame: DataFrame, node: Column, prefix: str, col: Column, dtype: T.DataType) -> None:
+        """node = node-id string Column within `frame`; prefix = predicate
+        path from the document root (reference: JSONParser builds the same
+        dotted path for nested properties)."""
+        subj = nt.nt_iri(node)
         pred = f"<{ns}{prefix}>"
         if isinstance(dtype, T.StructType):
             for f in dtype.fields:
-                walk(f"{prefix}.{f.name}" if prefix else f.name, col[f.name], f.dataType)
-        elif isinstance(dtype, T.ArrayType) and not isinstance(dtype.elementType, (T.ArrayType, T.StructType)):
-            exploded = df.select(subj.alias("subj"), F.posexplode_outer(col).alias("idx", "v"))
+                walk(frame, node, f"{prefix}.{f.name}" if prefix else f.name, col[f.name], f.dataType)
+        elif isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, (T.ArrayType, T.StructType)):
+            # array of structs / arrays: each element is a CHILD NODE
+            # (reference `.e:0` ids) — edge + index marker, then recurse
+            child = frame.select(
+                node.alias("__node"), F.posexplode_outer(col).alias("__idx", "__v")
+            ).where(F.col("__v").isNotNull())
+            child_id = F.concat(
+                F.col("__node"), F.lit(f".{prefix}:"), F.col("__idx").cast("string")
+            )
+            parts.append(
+                child.select(
+                    nt.nt_iri(F.col("__node")).alias("subj"),
+                    F.lit(pred).alias("pred"),
+                    nt.nt_iri(child_id).alias("obj"),
+                    _null_ctx.alias("ctx"),
+                )
+            )
+            parts.append(
+                child.select(
+                    nt.nt_iri(child_id).alias("subj"),
+                    F.lit(f"<{ns}{prefix}:index>").alias("pred"),
+                    nt.nt_lit(F.col("__idx").cast("string"), dtype=nt.XSD + "integer").alias("obj"),
+                    _null_ctx.alias("ctx"),
+                )
+            )
+            sub = child.select(child_id.alias("__cnode"), F.col("__v").alias("__cval"))
+            walk(sub, F.col("__cnode"), prefix, F.col("__cval"), dtype.elementType)
+        elif isinstance(dtype, T.ArrayType):
+            exploded = frame.select(subj.alias("subj"), F.posexplode_outer(col).alias("idx", "v"))
             parts.append(
                 exploded.select(
                     "subj",
                     F.concat(F.lit(f"<{ns}{prefix}:"), F.col("idx").cast("string"), F.lit(">")).alias("pred"),
                     _leaf_lit(F.col("v"), dtype.elementType).alias("obj"),
-                    F.lit(None).cast("string").alias("ctx"),
+                    _null_ctx.alias("ctx"),
                 ).where(F.col("obj").isNotNull())
             )
         elif isinstance(dtype, T.MapType):
-            exploded = df.select(subj.alias("subj"), F.explode_outer(col).alias("k", "v"))
-            parts.append(
-                exploded.select(
-                    "subj",
-                    F.concat(F.lit(f"<{ns}{prefix}:"), F.col("k"), F.lit(">")).alias("pred"),
-                    _leaf_lit(F.col("v"), dtype.valueType).alias("obj"),
-                    F.lit(None).cast("string").alias("ctx"),
-                ).where(F.col("k").isNotNull())
-            )
+            if isinstance(dtype.valueType, (T.ArrayType, T.StructType)):
+                child = frame.select(
+                    node.alias("__node"), F.explode_outer(col).alias("__k", "__v")
+                ).where(F.col("__v").isNotNull() & F.col("__k").isNotNull())
+                child_id = F.concat(F.col("__node"), F.lit(f".{prefix}:"), F.col("__k"))
+                parts.append(
+                    child.select(
+                        nt.nt_iri(F.col("__node")).alias("subj"),
+                        F.concat(F.lit(f"<{ns}{prefix}:"), F.col("__k"), F.lit(">")).alias("pred"),
+                        nt.nt_iri(child_id).alias("obj"),
+                        _null_ctx.alias("ctx"),
+                    )
+                )
+                sub = child.select(child_id.alias("__cnode"), F.col("__v").alias("__cval"))
+                walk(sub, F.col("__cnode"), prefix, F.col("__cval"), dtype.valueType)
+            else:
+                exploded = frame.select(subj.alias("subj"), F.explode_outer(col).alias("k", "v"))
+                parts.append(
+                    exploded.select(
+                        "subj",
+                        F.concat(F.lit(f"<{ns}{prefix}:"), F.col("k"), F.lit(">")).alias("pred"),
+                        _leaf_lit(F.col("v"), dtype.valueType).alias("obj"),
+                        _null_ctx.alias("ctx"),
+                    ).where(F.col("k").isNotNull())
+                )
         else:
             parts.append(
-                df.select(
+                frame.select(
                     subj.alias("subj"),
                     F.lit(pred).alias("pred"),
                     _leaf_lit(col, dtype).alias("obj"),
-                    F.lit(None).cast("string").alias("ctx"),
+                    _null_ctx.alias("ctx"),
                 ).where(col.isNotNull())
             )
 
-    walk("", F.col(struct_col), schema)
+    walk(df, F.col(node_col).cast("string"), "", F.col(struct_col), schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -224,3 +276,29 @@ def read_ntriples(spark, path: str) -> DataFrame:
     """Read .nt / .nq files (plain or compressed — Spark's text source
     handles codecs) into a quad DataFrame."""
     return ntriples_to_triples(spark.read.text(path))
+
+
+def read_rdf(spark, path: str, fmt: str | None = None) -> DataFrame:
+    """Extension-dispatched RDF reader — the bulk-load input-format map
+    (tools/.../HalyardBulkLoad.java:251-259 maps every RIO-registered
+    extension to its parser).  `fmt` overrides sniffing; compressed
+    inputs keep their logical extension before the codec suffix
+    (data.ttl.gz -> turtle), handled by Spark's text source codecs."""
+    if fmt is None:
+        base = path.lower()
+        for codec in (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy"):
+            if base.endswith(codec):
+                base = base[: -len(codec)]
+        ext = base.rsplit(".", 1)[-1] if "." in base else ""
+        fmt = {
+            "nt": "ntriples", "nq": "ntriples",
+            "ttl": "turtle", "trig": "turtle",
+            "ndjsonld": "ndjsonld", "jsonld": "ndjsonld",
+        }.get(ext, "ntriples")
+    if fmt == "turtle":
+        from halyard_spark.sources.turtle import read_turtle
+
+        return read_turtle(spark, path)
+    if fmt == "ndjsonld":
+        return ndjsonld_to_triples(spark.read.text(path))
+    return read_ntriples(spark, path)

@@ -98,6 +98,33 @@ def test_json_to_triples(spark):
     assert ("<n1>", "<urn:json:tags:0>", '"a"') in rows
     assert ("<n1>", "<urn:json:tags:1>", '"b"') in rows
 
+def test_json_to_triples_deep_recursion(spark):
+    """Arrays of structs recurse to ARBITRARY depth (JSONParser.java:64-116
+    recurses; golden shape rio/src/test/resources/.../nestedArrays.json):
+    each element becomes a child node `parent.path:idx` with an edge and
+    an :index marker, fields recursed under the dotted path."""
+    raw = '{"a": ["b", "c", "d"], "e": [{"f": "g"}, {"h": "i"}], ' \
+          '"deep": [{"inner": [{"leaf": 7}]}]}'
+    schema = (
+        "a array<string>, e array<struct<f: string, h: string>>, "
+        "deep array<struct<inner: array<struct<leaf: long>>>>"
+    )
+    df = spark.createDataFrame([("n1", raw)], "node string, raw string")
+    parsed = df.select("node", F.from_json("raw", schema).alias("j"))
+    rows = {(r.subj, r.pred, r.obj) for r in rio.json_to_triples(parsed, "node", "j").collect()}
+    X = "<http://www.w3.org/2001/XMLSchema#integer>"
+    # level-1 scalar array (unchanged shape)
+    assert ("<n1>", "<urn:json:a:0>", '"b"') in rows
+    # level-1 array-of-structs: edge + index + field under dotted path
+    assert ("<n1>", "<urn:json:e>", "<n1.e:0>") in rows
+    assert ("<n1.e:0>", "<urn:json:e:index>", f'"0"^^{X}') in rows
+    assert ("<n1.e:0>", "<urn:json:e.f>", '"g"') in rows
+    assert ("<n1.e:1>", "<urn:json:e.h>", '"i"') in rows
+    # level-3: array-of-structs inside array-of-structs
+    assert ("<n1>", "<urn:json:deep>", "<n1.deep:0>") in rows
+    assert ("<n1.deep:0>", "<urn:json:deep.inner>", "<n1.deep:0.deep.inner:0>") in rows
+    assert ("<n1.deep:0.deep.inner:0>", "<urn:json:deep.inner.leaf>", f'"7"^^{X}') in rows
+
 
 def test_export_dbapi_sqlite(spark, tmp_path):
     """Relational export through the injectable DB-API path (the JDBC
@@ -120,3 +147,59 @@ def test_export_dbapi_sqlite(spark, tmp_path):
     rows = con.execute("SELECT id, name FROM people ORDER BY CAST(id AS INT)").fetchall()
     con.close()
     assert len(rows) == 25 and rows[0][1] == "name0" and rows[-1][1] == "name24"
+
+
+def test_timestamped_update_mvcc(spark):
+    """Reference cell-timestamp semantics (HalyardTableUtils.java:271-276,
+    TimeAwareHBaseSail.java:81-106): max effective version wins; insert
+    beats delete at the SAME timestamp; out-of-order op arrival resolves
+    identically."""
+    from halyard_spark.pipeline.update import timestamped_update
+
+    base = spark.createDataFrame(
+        [("<s1>", "<p>", '"kept"', None), ("<s2>", "<p>", '"doomed"', None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ops = spark.createDataFrame(
+        [
+            # delete arrives FIRST in the log but with the LATER ts -> wins
+            ("<s2>", "<p>", '"doomed"', None, 20, "delete"),
+            ("<s2>", "<p>", '"doomed"', None, 10, "insert"),
+            # equal-ts pair: insert beats delete (the <<1|1 tie-break)
+            ("<s3>", "<p>", '"tied"', None, 30, "delete"),
+            ("<s3>", "<p>", '"tied"', None, 30, "insert"),
+            # delete then a LATER re-insert -> present
+            ("<s4>", "<p>", '"reborn"', None, 5, "delete"),
+            ("<s4>", "<p>", '"reborn"', None, 6, "insert"),
+            # stale delete below base_ts cannot remove a base row
+            ("<s1>", "<p>", '"kept"', None, -1, "delete"),
+        ],
+        "subj string, pred string, obj string, ctx string, ts long, op string",
+    )
+    out = timestamped_update(base, ops, base_ts=0)
+    got = {(r["subj"], r["obj"]) for r in out.collect()}
+    assert got == {
+        ("<s1>", '"kept"'),
+        ("<s3>", '"tied"'),
+        ("<s4>", '"reborn"'),
+    }
+    # op order in the log is irrelevant: shuffled input, same result
+    out2 = timestamped_update(base, ops.orderBy(F.rand(seed=7)), base_ts=0)
+    assert {(r["subj"], r["obj"]) for r in out2.collect()} == got
+
+
+def test_timestamped_update_single_shuffle_plan(spark):
+    """Scale gate: resolution is ONE hash aggregation on the quad key —
+    no window/sort in the plan."""
+    from halyard_spark.pipeline.update import timestamped_update
+
+    base = spark.createDataFrame(
+        [("<s>", "<p>", '"o"', None)], "subj string, pred string, obj string, ctx string"
+    )
+    ops = spark.createDataFrame(
+        [("<s>", "<p>", '"o"', None, 1, "delete")],
+        "subj string, pred string, obj string, ctx string, ts long, op string",
+    )
+    plan = timestamped_update(base, ops)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    assert plan.count("Exchange") <= 1  # one shuffle: the groupBy

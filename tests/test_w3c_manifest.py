@@ -20,7 +20,7 @@ from pathlib import Path
 
 import pytest
 
-from halyard_spark.query.sparql import sparql_query
+from halyard_spark.query.sparql import sparql_query, sparql_update
 
 W3C_DIR = Path(__file__).parent / "w3c"
 
@@ -61,6 +61,8 @@ MANIFEST = json.loads((W3C_DIR / "manifest.json").read_text())
 @pytest.mark.parametrize("case", MANIFEST, ids=[c["name"] for c in MANIFEST])
 def test_w3c_case(spark, case):
     data = load_nquads(spark, W3C_DIR / case["data"])
+    if "update" in case:  # update manifest entry: mutate, then verify
+        data = sparql_update(data, (W3C_DIR / case["update"]).read_text())
     query = (W3C_DIR / case["query"]).read_text()
     expect = json.loads((W3C_DIR / case["result"]).read_text())
     out = sparql_query(data, query)

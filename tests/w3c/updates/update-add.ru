@@ -1,0 +1,1 @@
+ADD <urn:g1> TO <urn:g2>

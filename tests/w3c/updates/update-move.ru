@@ -1,0 +1,1 @@
+MOVE <urn:g1> TO <urn:g2>

@@ -293,12 +293,17 @@ def read_rdf(spark, path: str, fmt: str | None = None) -> DataFrame:
         fmt = {
             "nt": "ntriples", "nq": "ntriples",
             "ttl": "turtle", "trig": "turtle",
+            "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
             "ndjsonld": "ndjsonld", "jsonld": "ndjsonld",
         }.get(ext, "ntriples")
     if fmt == "turtle":
         from halyard_spark.sources.turtle import read_turtle
 
         return read_turtle(spark, path)
+    if fmt == "rdfxml":
+        from halyard_spark.sources.rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path)
     if fmt == "ndjsonld":
         return ndjsonld_to_triples(spark.read.text(path))
     return read_ntriples(spark, path)

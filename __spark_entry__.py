@@ -389,6 +389,15 @@ def q_kg_triples(spark, sf_dir):
     return _tpch_triples(spark, sf_dir)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (ops/dedup.embedding_cosine_pairs):
+    exact all-pairs baseline here (oracle-matchable); the LSH-bucketed
+    scale path is recall-tested vs this in pytest."""
+    return D.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40, method="exact"
+    )
+
+
 def q_mvcc_resolve(spark, sf_dir):
     """Timestamped update resolution (pipeline/update.timestamped_update;
     HalyardTableUtils.java:271-276 cell-timestamp tie-break): base quads
@@ -1075,6 +1084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new round-4 surface
     "turtle_load": q_turtle_load,
     "mvcc_resolve": q_mvcc_resolve,
+    "dedup_embedding": q_dedup_embedding,
     # --- remaining catalog
     "kg_void_stats": q_kg_void_stats,
     "summary_log2": q_summary_log2,
@@ -1393,6 +1403,17 @@ ORACLES: dict[str, str] = {
         WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders
                WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+    "dedup_embedding": """
+        WITH nrm AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             FROM embeddings),
+        s AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_sum(list_transform(range(1, len(x.embedding) + 1),
+                           i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                     / (x.nrm * y.nrm) AS c
+              FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
+        SELECT a, b, ROUND(c, 6) AS cos FROM s WHERE c >= 0.40
     """,
     "mvcc_resolve": """
         SELECT '<urn:cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,

@@ -168,6 +168,17 @@ def write_baseline_md(result: dict) -> None:
             "  invocation (best per-invocation efficiency; a ratio pairing",
             "  bests from different runs is never the headline)",
         ]
+        invs = [
+            r.get("efficiency")
+            for r in (scal.get("invocations") or [])
+            if not r.get("legacy_merged") and r.get("efficiency") is not None
+        ]
+        if invs:
+            lines += [
+                f"- all per-invocation primary ratios (chronological, incl. driver-run windows): {invs}",
+                "  — individual invocations land under 0.8 in noisy host windows;",
+                "  the criterion is evidenced by the median, not by every sample",
+            ]
         if sec:
             sec_med = sec.get("efficiency_median")
             lines += [

@@ -255,3 +255,71 @@ def dedup_representatives(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(non_rep, on=id_col, how="left_anti")
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    cosine >= threshold — the semantic-dedup stage of a training-data
+    pipeline (exact/minhash/simhash catch lexical dups; this catches
+    paraphrases via the embedding space).
+
+    method='exact' is the all-pairs baseline (id<id self-join; correct at
+    any scale but O(n^2) — the small-side/oracle path).  method='lsh' is
+    the scale path: candidates come from an equi-join on multi-table
+    random-hyperplane buckets (ops/simsearch.lsh_buckets) so only
+    same-bucket pairs are scored — the shuffle carries (id, bucket) pairs,
+    never a cross product; the exact cosine filter then removes false
+    positives, so precision is 1.0 and only recall depends on the band
+    shape (tested >= 0.8 vs exact in pytest).  Tune bands to the
+    threshold: per-plane collision p = 1 - acos(threshold)/pi, recall =
+    1-(1-p^n_planes)^n_tables — low thresholds need FEWER planes or more
+    tables (cos>=0.4: 3 planes x 10 tables ~ 0.94; cos>=0.9: 6 x 8 ~ 0.98).
+    """
+    from halyard_spark.ops.simsearch import _dot, _norm, lsh_buckets
+
+    nrm = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn("__n", _norm(F.col("__vec")))
+
+    if method == "exact":
+        a = nrm.select(
+            F.col("__id").alias("a"), F.col("__vec").alias("__va"), F.col("__n").alias("__na")
+        )
+        b = nrm.select(
+            F.col("__id").alias("b"), F.col("__vec").alias("__vb"), F.col("__n").alias("__nb")
+        )
+        cand = a.join(b, F.col("a") < F.col("b"))
+    elif method == "lsh":
+        bk = lsh_buckets(
+            emb.select(F.col(id_col), F.col(vec_col)),
+            dim=dim, n_planes=n_planes, n_tables=n_tables, vec_col=vec_col, seed=seed,
+        ).select(F.col(id_col).alias("__bid"), "bucket")
+        pairs = (
+            bk.alias("x")
+            .join(bk.alias("y"), on="bucket")
+            .where(F.col("x.__bid") < F.col("y.__bid"))
+            .select(F.col("x.__bid").alias("a"), F.col("y.__bid").alias("b"))
+            .distinct()
+        )
+        a = nrm.select(F.col("__id").alias("a"), F.col("__vec").alias("__va"), F.col("__n").alias("__na"))
+        b = nrm.select(F.col("__id").alias("b"), F.col("__vec").alias("__vb"), F.col("__n").alias("__nb"))
+        cand = pairs.join(a, "a").join(b, "b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.withColumn("__cos", cos)
+        .where(F.col("__cos") >= threshold)
+        .select("a", "b", F.round("__cos", 6).alias("cos"))
+    )

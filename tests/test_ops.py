@@ -137,3 +137,27 @@ def test_hash_sample_rate_one_keeps_all(spark):
     assert SA.hash_sample(docs, 1.0).count() == 2000
     kept_half = SA.hash_sample(docs, 0.5).count()
     assert 0 < kept_half < 2000  # monotone path below 1.0 unchanged
+
+
+def test_embedding_cosine_pairs_lsh_recall(spark):
+    """LSH-bucketed embedding near-dup: precision 1.0 by construction
+    (exact cosine filter), recall >= 0.8 vs the exact all-pairs baseline,
+    and no cross product in the plan."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["a"], r["b"])
+        for r in D.embedding_cosine_pairs(emb, 0.40, method="exact").collect()
+    }
+    # tune bands to the threshold: cos>=0.4 is theta~66deg, per-plane
+    # collision p = 1 - theta/pi ~ 0.63 -> 3 planes x 10 tables gives
+    # theoretical recall 1-(1-p^3)^10 ~ 0.94 (higher thresholds need
+    # fewer tables: at cos>=0.9, 6 planes x 8 tables is ~0.98)
+    lsh_df = D.embedding_cosine_pairs(emb, 0.40, method="lsh", n_planes=3, n_tables=10)
+    lsh = {(r["a"], r["b"]) for r in lsh_df.collect()}
+    assert lsh <= exact  # precision 1.0: every reported pair is a true pair
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.8, f"recall {len(lsh)/len(exact):.2f}"
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

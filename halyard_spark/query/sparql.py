@@ -1108,14 +1108,24 @@ class _Planner:
                 base = base.where(F.col("ctx").isin(named) if named else F.lit(False))
             if sub_path[0] == "link":
                 scoped_edges = base.where(F.col("pred") == nt.iri(sub_path[1]))
-            else:
-                raise ValueError(
-                    "SPARQL: composite closure paths inside GRAPH ?var are unsupported"
+                edges = scoped_edges.select(
+                    F.concat(F.col("ctx"), sep, F.col("subj")).alias("src"),
+                    F.concat(F.col("ctx"), sep, F.col("obj")).alias("dst"),
                 )
-            edges = scoped_edges.select(
-                F.concat(F.col("ctx"), sep, F.col("subj")).alias("src"),
-                F.concat(F.col("ctx"), sep, F.col("obj")).alias("dst"),
-            )
+            else:
+                # COMPOSITE sub-path (seq/alt/inverse/NPS/nested closure):
+                # under GRAPH ?g every leaf scan already binds ctx to the
+                # graph var, and the composition joins on it — so one
+                # eval_path_expr call yields per-graph pair sets whose
+                # components all live in the SAME graph.  Prefixing the
+                # endpoints with that graph column drops them into the
+                # same one-job-for-all-graphs closure as plain links.
+                sv, ov = self._fresh_var(), self._fresh_var()
+                sub_pairs = self.eval_path_expr(("var", sv), sub_path, ("var", ov))
+                edges = sub_pairs.select(
+                    F.concat(F.col(graph_var), sep, F.col(sv)).alias("src"),
+                    F.concat(F.col(graph_var), sep, F.col(ov)).alias("dst"),
+                )
             contexts = base.select("ctx").distinct()
             s_var, o_var = s[0] == "var", o[0] == "var"
             if s_var and o_var:

@@ -719,3 +719,45 @@ def test_values_before_minus_flushes(spark, tree):
         }""")
     # a has a childOf edge -> removed; c does not -> kept
     assert rows(out) == [(nt.iri(EX + "c"),)]
+
+
+# ----------------------------- composite closure paths inside GRAPH ?var
+
+@pytest.fixture(scope="module")
+def twograph(spark):
+    data = [
+        ("<urn:a>", "<urn:p>", "<urn:b>", "<urn:g1>"),
+        ("<urn:b>", "<urn:q>", "<urn:c>", "<urn:g1>"),
+        ("<urn:c>", "<urn:p>", "<urn:d>", "<urn:g1>"),
+        ("<urn:a>", "<urn:p>", "<urn:x>", "<urn:g2>"),
+        ("<urn:x>", "<urn:q>", "<urn:y>", "<urn:g2>"),
+    ]
+    return spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+
+
+def test_graph_var_composite_seq_closure(spark, twograph):
+    """(p/q)+ under GRAPH ?g: one job over all graphs, paths never cross
+    graph boundaries (the round-3 known-partial, now closed)."""
+    out = sparql_query(twograph, "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x (<urn:p>/<urn:q>)+ ?y } }")
+    assert rows(out) == sorted([
+        ("<urn:g1>", "<urn:a>", "<urn:c>"),
+        ("<urn:g2>", "<urn:a>", "<urn:y>"),
+    ])
+
+
+def test_graph_var_composite_alt_closure(spark, twograph):
+    out = sparql_query(twograph, "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x (<urn:p>|<urn:q>)+ ?y } }")
+    got = rows(out)
+    # g1's chain a-p-b-q-c-p-d closes fully; g2's a-p-x-q-y too; no mixing
+    assert ("<urn:g1>", "<urn:a>", "<urn:d>") in got
+    assert ("<urn:g2>", "<urn:a>", "<urn:y>") in got
+    assert all(g in ("<urn:g1>", "<urn:g2>") for g, _, _ in got)
+    assert ("<urn:g1>", "<urn:a>", "<urn:x>") not in got  # cross-graph leak
+
+
+def test_graph_var_composite_star_bound_source(spark, twograph):
+    out = sparql_query(twograph, "SELECT ?g ?y WHERE { GRAPH ?g { <urn:a> (<urn:p>/<urn:q>)* ?y } }")
+    assert rows(out) == sorted([
+        ("<urn:g1>", "<urn:a>"), ("<urn:g1>", "<urn:c>"),
+        ("<urn:g2>", "<urn:a>"), ("<urn:g2>", "<urn:y>"),
+    ])

@@ -24,6 +24,9 @@ from halyard_spark import nt
 from halyard_spark.query.sparql import sparql_select, sparql_update
 
 RESULTS_JSON = "application/sparql-results+json"
+RESULTS_XML = "application/sparql-results+xml"
+RESULTS_CSV = "text/csv"
+RESULTS_TSV = "text/tab-separated-values"
 
 
 def binding_json(value) -> dict | None:
@@ -64,6 +67,93 @@ def results_json(df: DataFrame, limit: int = 10000) -> dict:
                 b[c] = j
         bindings.append(b)
     return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+
+
+def results_xml(df: DataFrame, limit: int = 10000) -> str:
+    """SPARQL 1.1 Query Results XML Format."""
+    from xml.sax.saxutils import escape as x
+
+    cols = df.columns
+    out = ['<?xml version="1.0"?>', '<sparql xmlns="http://www.w3.org/2005/sparql-results#">']
+    if cols == ["ask"]:
+        out += ["<head/>", f"<boolean>{'true' if df.collect()[0]['ask'] else 'false'}</boolean>", "</sparql>"]
+        return "\n".join(out)
+    out.append("<head>" + "".join(f'<variable name="{x(c)}"/>' for c in cols) + "</head>")
+    out.append("<results>")
+    for row in df.limit(limit).collect():
+        cells = []
+        for c in cols:
+            b = binding_json(row[c])
+            if b is None:
+                continue
+            if b["type"] == "uri":
+                term = f"<uri>{x(b['value'])}</uri>"
+            elif b["type"] == "bnode":
+                term = f"<bnode>{x(b['value'])}</bnode>"
+            else:
+                attrs = ""
+                if "xml:lang" in b:
+                    attrs = f' xml:lang="{x(b["xml:lang"])}"'
+                elif "datatype" in b:
+                    attrs = f' datatype="{x(b["datatype"])}"'
+                term = f"<literal{attrs}>{x(b['value'])}</literal>"
+            cells.append(f'<binding name="{x(c)}">{term}</binding>')
+        out.append("<result>" + "".join(cells) + "</result>")
+    out += ["</results>", "</sparql>"]
+    return "\n".join(out)
+
+
+def _csv_cell(value) -> str:
+    b = binding_json(value)
+    if b is None:
+        return ""
+    v = b["value"]
+    if any(ch in v for ch in ',"\n\r'):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def _tsv_cell(value) -> str:
+    if value is None:
+        return ""
+    return str(value)  # TSV keeps full N-Triples / lexical terms
+
+
+def results_csv(df: DataFrame, limit: int = 10000) -> str:
+    """SPARQL 1.1 CSV results: plain values (IRIs bare, literal labels)."""
+    cols = df.columns
+    lines = [",".join(cols)]
+    for row in df.limit(limit).collect():
+        lines.append(",".join(_csv_cell(row[c]) for c in cols))
+    return "\r\n".join(lines) + "\r\n"
+
+
+def results_tsv(df: DataFrame, limit: int = 10000) -> str:
+    """SPARQL 1.1 TSV results: full term syntax, ?-prefixed header."""
+    cols = df.columns
+    lines = ["\t".join("?" + c for c in cols)]
+    for row in df.limit(limit).collect():
+        lines.append("\t".join(_tsv_cell(row[c]) for c in cols))
+    return "\n".join(lines) + "\n"
+
+
+_FORMATS = {
+    RESULTS_JSON: lambda df: json.dumps(results_json(df)),
+    RESULTS_XML: results_xml,
+    RESULTS_CSV: results_csv,
+    RESULTS_TSV: results_tsv,
+    "application/json": lambda df: json.dumps(results_json(df)),
+}
+
+
+def pick_format(accept: str | None) -> tuple[str, "callable"]:
+    """Accept-header negotiation (HttpSparqlHandler honors the RDF4J
+    result-writer registry the same way); default = JSON."""
+    for part in (accept or "").split(","):
+        mt = part.split(";")[0].strip().lower()
+        if mt in _FORMATS:
+            return mt, _FORMATS[mt]
+    return RESULTS_JSON, _FORMATS[RESULTS_JSON]
 
 
 class SparqlEndpoint:
@@ -124,16 +214,17 @@ class SparqlEndpoint:
                         [f"<{u}>" for u in params.get("default-graph-uri", [])] or None,
                         [f"<{u}>" for u in params.get("named-graph-uri", [])] or None,
                     )
+                mtype, serialize = pick_format(self.headers.get("Accept"))
                 try:
                     df = sparql_select(
                         ep.triples, query, services=ep.services, dataset=dataset
                     )
-                    payload = json.dumps(results_json(df)).encode()
+                    payload = serialize(df).encode()
                 except Exception as exc:  # malformed query -> protocol error
                     self.send_error(400, str(exc)[:500])
                     return
                 self.send_response(200)
-                self.send_header("Content-Type", RESULTS_JSON)
+                self.send_header("Content-Type", mtype)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)

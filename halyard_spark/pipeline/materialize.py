@@ -69,6 +69,33 @@ def write_mirrors(cached: DataFrame, out_dir: str, n: int, indexes: list[str] | 
         list(pool.map(write_one, items))
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg runtime is on the session's classpath (the
+    cluster deployment target; this sandbox has no Iceberg jar)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_sorted_iceberg(df: DataFrame, table: str, keys: list[str], n: int) -> None:
+    """Iceberg form of write_sorted: same repartitionByRange +
+    sortWithinPartitions physical shape (the file-level sort that powers
+    min/max pruning), committed through writeTo(...).createOrReplace() —
+    an ATOMIC snapshot commit, the LoadIncrementalHFiles doBulkLoad analog
+    (HalyardBulkLoad.java:548-567).  The dataframe transformation is
+    identical to the parquet path, so every plan gate that verifies the
+    parquet shape verifies this one; only the committer differs."""
+    (
+        df.repartitionByRange(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .writeTo(table)
+        .using("iceberg")
+        .createOrReplace()
+    )
+
+
 def write_manifest(out_dir: str, count: int, n: int) -> dict:
     manifest = {
         "snapshot_ts": int(time.time()),

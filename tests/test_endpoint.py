@@ -215,3 +215,61 @@ def test_endpoint_concurrent_updates_serialize(spark):
         assert ep.triples.count() == 5  # original + all 4 inserts
     finally:
         ep.stop()
+
+
+def test_endpoint_result_format_negotiation(spark):
+    """Accept-header negotiation: XML / CSV / TSV result formats (the
+    SPARQL 1.1 result serializations HttpSparqlHandler serves via the
+    RDF4J writer registry); default stays JSON."""
+    import urllib.parse
+    import urllib.request
+
+    from halyard_spark import nt
+    from halyard_spark.endpoint import SparqlEndpoint
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("v,1", lang="en"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ep = SparqlEndpoint(g).start()
+    try:
+        q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <urn:p> ?o }")
+        url = f"http://127.0.0.1:{ep.port}/sparql?query={q}"
+
+        def get(accept):
+            req = urllib.request.Request(url, headers={"Accept": accept})
+            with urllib.request.urlopen(req) as resp:
+                return resp.headers.get("Content-Type"), resp.read().decode()
+
+        ct, body = get("application/sparql-results+xml")
+        assert ct == "application/sparql-results+xml"
+        assert '<variable name="s"/>' in body
+        assert '<literal xml:lang="en">v,1</literal>' in body
+        assert "<uri>urn:a</uri>" in body
+
+        ct, body = get("text/csv")
+        assert ct == "text/csv"
+        assert body.splitlines()[0] == "s,o"
+        assert '"v,1"' in body  # comma-containing value quoted, plain label
+
+        ct, body = get("text/tab-separated-values")
+        assert ct == "text/tab-separated-values"
+        assert body.splitlines()[0] == "?s\t?o"
+        assert '"v,1"@en' in body  # TSV keeps full term syntax
+
+        ct, body = get("application/sparql-results+json")
+        assert ct == "application/sparql-results+json"
+        # unknown Accept falls back to JSON
+        ct, _ = get("application/weird")
+        assert ct == "application/sparql-results+json"
+
+        # ASK in XML boolean form
+        qa = urllib.parse.quote("ASK { ?s <urn:p> ?o }")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{ep.port}/sparql?query={qa}",
+            headers={"Accept": "application/sparql-results+xml"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert "<boolean>true</boolean>" in resp.read().decode()
+    finally:
+        ep.stop()

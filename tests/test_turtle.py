@@ -292,3 +292,47 @@ def test_cross_parser_golden_json_vs_ttl(spark):
     lits = {o for _, _, o, _ in quads if o.startswith('"')}
     for v in ("b", "c", "d", "g", "i"):  # every leaf value in nestedArrays.json
         assert f'"{v}"' in lits or any(o.startswith(f'"{v}"') for o in lits)
+
+
+# ------------------------------------------------------------ fuzz gates
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_turtle_dirty_mode_total(garbage):
+    """With dirty tolerance ON (the bulk-load default), ANY input yields
+    a (possibly empty) quad list — never an unhandled exception, never a
+    hang (HalyardBulkLoad skip-invalid semantics)."""
+    quads = parse_turtle(garbage)
+    assert isinstance(quads, list)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_turtle_strict_mode_fails_closed(garbage):
+    """Strict mode: parse or ValueError — no other failure mode."""
+    try:
+        parse_turtle(garbage, dirty_ok=False)
+    except ValueError:
+        pass
+
+
+_NAME = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+
+
+@given(
+    s=_NAME, p=_NAME,
+    label=st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+    lang=st.sampled_from([None, "en", "en-US", "zh"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_turtle_literal_roundtrip(s, p, label, lang):
+    """Any literal serialized as Turtle parses back to the exact same
+    N-Triples term (escaping round-trip through the two codecs)."""
+    term = nt.lit(label, lang=lang)
+    doc = f"@prefix ex: <http://e/> .\nex:{s} ex:{p} {term} ."
+    quads = parse_turtle(doc, dirty_ok=False)
+    assert quads == [(f"<http://e/{s}>", f"<http://e/{p}>", term, None)]

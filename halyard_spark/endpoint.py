@@ -189,9 +189,12 @@ class SparqlEndpoint:
                 endpoint answers errors, never drops the connection)."""
                 try:
                     with ep._update_lock:
-                        new = sparql_update(ep.triples, update_text)
-                        new.localCheckpoint(eager=True)
-                        ep.triples = new
+                        # localCheckpoint RETURNS the pinned frame — assign
+                        # it, or the snapshot keeps the full lazy plan (and
+                        # every update stacks another plan layer on top)
+                        ep.triples = sparql_update(ep.triples, update_text).localCheckpoint(
+                            eager=True
+                        )
                 except SyntaxError as exc:
                     self.send_error(400, str(exc)[:500])
                     return

@@ -869,6 +869,7 @@ class _Planner:
                     raise ValueError("SPARQL: MINUS with no preceding pattern")
                 df = A.minus(df, self.eval_group(el[1]))
             elif kind == "bind":
+                df = flush_values(df)  # BIND reads in-scope bindings, incl. a leading VALUES
                 if df is None:
                     df = self._unit()  # { BIND(...) ... } extends the empty solution
                 col, _k = self.eval_expr(el[1], df)

@@ -112,11 +112,16 @@ class _RdfXmlWalker:
         tag_iri = _split_qname(el.tag)
         if el.tag != _RDF_DESCRIPTION:
             self.emit(subj, nt.iri(RDF + "type"), nt.iri(tag_iri))
-        # property attributes (non-syntax attributes on the node element)
+        # property attributes (non-syntax attributes on the node element);
+        # rdf:type as a property attribute takes a RESOURCE value
+        # (RDF/XML §2.13), not a string literal
         for attr, value in el.attrib.items():
             if attr in _SYNTAX_ATTRS or attr.startswith(f"{{{XML}}}"):
                 continue
-            self.emit(subj, nt.iri(_split_qname(attr)), nt.lit(value, lang=lang))
+            if attr == f"{{{RDF}}}type":
+                self.emit(subj, nt.iri(RDF + "type"), self.resolve(value, base))
+            else:
+                self.emit(subj, nt.iri(_split_qname(attr)), nt.lit(value, lang=lang))
 
         li_counter = 0
         for child in el:
@@ -189,7 +194,10 @@ class _RdfXmlWalker:
             inner = self.fresh_bnode()
             self.emit(subj, pred, inner)
             for attr, value in prop_attrs.items():
-                self.emit(inner, nt.iri(_split_qname(attr)), nt.lit(value, lang=lang))
+                if attr == f"{{{RDF}}}type":
+                    self.emit(inner, nt.iri(RDF + "type"), self.resolve(value, base))
+                else:
+                    self.emit(inner, nt.iri(_split_qname(attr)), nt.lit(value, lang=lang))
             return li_counter
 
         text = el.text or ""

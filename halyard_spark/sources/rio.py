@@ -141,6 +141,132 @@ def json_to_triples(df: DataFrame, node_col: str, struct_col: str, ns: str = "ur
 TRIPLE_SCHEMA = "subj string, pred string, obj string, ctx string"
 
 
+def _jsonld_expand_iri(term: str, ctx: dict) -> str:
+    import re
+
+    if term in ctx and isinstance(ctx[term], str):
+        return ctx[term]
+    if ":" in term:
+        prefix, _, local = term.partition(":")
+        if prefix in ctx and isinstance(ctx[prefix], str):
+            return ctx[prefix] + local
+    vocab = ctx.get("@vocab", "urn:ndjsonld:")
+    return term if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", term) else vocab + term
+
+
+def _jsonld_emit(doc: dict, out: list) -> None:
+    """One JSON-LD node object -> (s, p, o, None) rows (the supported
+    subset documented on ndjsonld_to_triples)."""
+    import hashlib
+    import json
+
+    expand_iri = _jsonld_expand_iri
+    ctx = doc.get("@context") or {}
+    if not isinstance(ctx, dict):
+        ctx = {}
+    sid = doc.get("@id")
+    if sid:
+        subj = nt.iri(expand_iri(str(sid), ctx))
+    else:
+        digest = hashlib.sha1(
+            json.dumps(doc, sort_keys=True).encode()
+        ).hexdigest()
+        subj = f"_:b{digest}"  # deterministic skolem bnode
+    for key, val in doc.items():
+        if key in ("@context", "@id"):
+            continue
+        if key == "@type":
+            pred = nt.iri(nt.RDF + "type")
+            vals = val if isinstance(val, list) else [val]
+            for v in vals:
+                out.append((subj, pred, nt.iri(expand_iri(str(v), ctx)), None))
+            continue
+        pred = nt.iri(expand_iri(key, ctx))
+        vals = val if isinstance(val, list) else [val]
+        for v in vals:
+            if isinstance(v, dict):
+                if "@id" in v:
+                    out.append((subj, pred, nt.iri(expand_iri(str(v["@id"]), ctx)), None))
+                elif "@value" in v:
+                    out.append(
+                        (
+                            subj,
+                            pred,
+                            nt.lit(
+                                str(v["@value"]),
+                                lang=v.get("@language"),
+                                dtype=expand_iri(v["@type"], ctx) if "@type" in v else None,
+                            ),
+                            None,
+                        )
+                    )
+            elif isinstance(v, bool):
+                out.append((subj, pred, nt.lit("true" if v else "false", dtype=nt.XSD + "boolean"), None))
+            elif isinstance(v, (int, float)):
+                dt = nt.XSD + ("integer" if isinstance(v, int) else "double")
+                out.append((subj, pred, nt.lit(str(v), dtype=dt), None))
+            elif v is not None:
+                out.append((subj, pred, nt.lit(str(v)), None))
+
+
+def _jsonld_emit_document(doc, out: list) -> None:
+    """A whole JSON-LD DOCUMENT: a node object, a top-level array of node
+    objects, or {@context, @graph: [...]} with the outer context inherited
+    by (and shallow-merged under) each node."""
+    if isinstance(doc, list):
+        for node in doc:
+            if isinstance(node, dict):
+                _jsonld_emit_document(node, out)
+        return
+    if not isinstance(doc, dict):
+        return
+    if isinstance(doc.get("@graph"), list):
+        outer = doc.get("@context") or {}
+        if not isinstance(outer, dict):
+            outer = {}
+        for node in doc["@graph"]:
+            if isinstance(node, dict):
+                inner = node.get("@context") or {}
+                if not isinstance(inner, dict):
+                    inner = {}
+                _jsonld_emit({**node, "@context": {**outer, **inner}}, out)
+        return
+    _jsonld_emit(doc, out)
+
+
+def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: str = "text") -> DataFrame:
+    """Whole-document JSON-LD reader (.jsonld): one file = ONE JSON-LD
+    document (pretty-printed / multi-line), vs the newline-delimited
+    ND-JSON-LD form.  Supports top-level node objects, arrays, and
+    @graph containers; unparseable files yield no rows (skip-invalid)."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = ["subj", "pred", "obj", "ctx"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for text in pdf[text_col]:
+                try:
+                    doc = json.loads(text or "")
+                except ValueError:
+                    continue
+                _jsonld_emit_document(doc, rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select(path_col, text_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
+def read_jsonld(spark, path) -> DataFrame:
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+    return jsonld_files_to_triples(files)
+
+
 def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
     """ND-JSON-LD reader: newline-delimited JSON-LD, each line its own
     document (rio/.../NDJSONLDParser.java:38-75 wraps each line as an
@@ -155,70 +281,12 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
     can't-express-in-built-ins boundary (the same place the reference
     spends a ParserPump thread, tools/.../HalyardBulkLoad.java:321-482).
     """
-    import hashlib
     import json
-    import re
     from collections.abc import Iterator
 
     import pandas as pd
 
-    def expand_iri(term: str, ctx: dict) -> str:
-        if term in ctx and isinstance(ctx[term], str):
-            return ctx[term]
-        if ":" in term:
-            prefix, _, local = term.partition(":")
-            if prefix in ctx and isinstance(ctx[prefix], str):
-                return ctx[prefix] + local
-        vocab = ctx.get("@vocab", "urn:ndjsonld:")
-        return term if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", term) else vocab + term
-
-    def emit(doc: dict, out: list) -> None:
-        ctx = doc.get("@context") or {}
-        if not isinstance(ctx, dict):
-            ctx = {}
-        sid = doc.get("@id")
-        if sid:
-            subj = nt.iri(expand_iri(str(sid), ctx))
-        else:
-            digest = hashlib.sha1(
-                json.dumps(doc, sort_keys=True).encode()
-            ).hexdigest()
-            subj = f"_:b{digest}"  # deterministic skolem bnode
-        for key, val in doc.items():
-            if key in ("@context", "@id"):
-                continue
-            if key == "@type":
-                pred = nt.iri(nt.RDF + "type")
-                vals = val if isinstance(val, list) else [val]
-                for v in vals:
-                    out.append((subj, pred, nt.iri(expand_iri(str(v), ctx)), None))
-                continue
-            pred = nt.iri(expand_iri(key, ctx))
-            vals = val if isinstance(val, list) else [val]
-            for v in vals:
-                if isinstance(v, dict):
-                    if "@id" in v:
-                        out.append((subj, pred, nt.iri(expand_iri(str(v["@id"]), ctx)), None))
-                    elif "@value" in v:
-                        out.append(
-                            (
-                                subj,
-                                pred,
-                                nt.lit(
-                                    str(v["@value"]),
-                                    lang=v.get("@language"),
-                                    dtype=expand_iri(v["@type"], ctx) if "@type" in v else None,
-                                ),
-                                None,
-                            )
-                        )
-                elif isinstance(v, bool):
-                    out.append((subj, pred, nt.lit("true" if v else "false", dtype=nt.XSD + "boolean"), None))
-                elif isinstance(v, (int, float)):
-                    dt = nt.XSD + ("integer" if isinstance(v, int) else "double")
-                    out.append((subj, pred, nt.lit(str(v), dtype=dt), None))
-                elif v is not None:
-                    out.append((subj, pred, nt.lit(str(v)), None))
+    emit = _jsonld_emit
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["subj", "pred", "obj", "ctx"]
@@ -288,7 +356,9 @@ def _rdf_format_of(path: str) -> str:
         "nt": "ntriples", "nq": "ntriples",
         "ttl": "turtle", "trig": "turtle",
         "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
-        "ndjsonld": "ndjsonld", "jsonld": "ndjsonld",
+        "ndjsonld": "ndjsonld",
+        # .jsonld = ONE pretty-printed document per file, not line-delimited
+        "jsonld": "jsonld",
     }.get(ext, "ntriples")
 
 
@@ -299,22 +369,32 @@ def read_rdf(spark, path, fmt: str | None = None) -> DataFrame:
     inputs keep their logical extension before the codec suffix
     (data.ttl.gz -> turtle), handled by Spark's text source codecs.
 
-    A glob / directory spanning MIXED formats is expanded and grouped so
-    each file goes through its own parser (the reference's per-file
-    format filter), then unioned; a list of paths is treated the same."""
+    A LOCAL glob / directory spanning MIXED formats is expanded and
+    grouped so each file goes through its own parser (the reference's
+    per-file format filter), then unioned; a list of paths is treated the
+    same.  Paths with a filesystem scheme (hdfs://, s3a://, ...) are NOT
+    expanded on the driver — they pass straight to Spark, whose source
+    expands globs on the target filesystem (one format per such path,
+    sniffed from the pattern's extension)."""
     if fmt is None:
         import glob as _glob
         import os as _os
+        import re as _re
+
+        def _has_scheme(p: str) -> bool:
+            return bool(_re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", p))
 
         paths = path if isinstance(path, list) else [path]
         expanded: list[str] = []
         for p in paths:
-            if _os.path.isdir(p):
+            if _has_scheme(p) and not p.startswith("file://"):
+                expanded.append(p)  # remote FS: Spark expands the glob
+            elif _os.path.isdir(p):
                 expanded.extend(
                     _os.path.join(p, f) for f in sorted(_os.listdir(p))
                     if _os.path.isfile(_os.path.join(p, f))
                 )
-            elif any(c in p for c in "*?["):
+            elif any(c in p for c in "*?[") and not _os.path.exists(p):
                 expanded.extend(sorted(f for f in _glob.glob(p) if _os.path.isfile(f)))
             else:
                 expanded.append(p)
@@ -338,6 +418,8 @@ def read_rdf(spark, path, fmt: str | None = None) -> DataFrame:
         from halyard_spark.sources.rdfxml import read_rdfxml
 
         return read_rdfxml(spark, path)
+    if fmt == "jsonld":
+        return read_jsonld(spark, path)
     if fmt == "ndjsonld":
         return ndjsonld_to_triples(spark.read.text(path))
     return read_ntriples(spark, path)

@@ -157,6 +157,7 @@ class _TurtleParser:
         self._bnode_map: dict[str, str] = {}
         self.out: list[tuple[str, str, str, str | None]] = []
         self.ctx: str | None = None
+        self._dirty_ok = False
 
     # -- token helpers
     def peek(self) -> tuple[str, str] | None:
@@ -198,6 +199,7 @@ class _TurtleParser:
 
     # -- grammar
     def parse_document(self, dirty_ok: bool = True) -> list[tuple]:
+        self._dirty_ok = dirty_ok
         while self.peek() is not None:
             start = self.i
             try:
@@ -210,9 +212,12 @@ class _TurtleParser:
 
     def resync(self, start: int) -> None:
         """Skip past the failed statement: advance to the next top-level
-        '.' or '}' (HalyardBulkLoad skip-invalid semantics)."""
+        '.' (HalyardBulkLoad skip-invalid semantics).  Brace-aware: a
+        failure before/at a graph block skips the WHOLE block rather than
+        resuming inside it with the wrong (default) context."""
         self.i = max(self.i, start + 1)
         depth = 0
+        braces = 0
         while self.i < len(self.toks):
             k, lex = self.toks[self.i]
             self.i += 1
@@ -221,9 +226,34 @@ class _TurtleParser:
                     depth += 1
                 elif lex in "])":
                     depth = max(0, depth - 1)
-                elif lex == "." and depth == 0:
+                elif lex == "{":
+                    braces += 1
+                elif lex == "}":
+                    if braces == 0:
+                        return  # stray close: consume and resume
+                    braces -= 1
+                    if braces == 0:
+                        return  # skipped a whole graph block
+                elif lex == "." and depth == 0 and braces == 0:
                     return
-                elif lex == "}" and depth == 0:
+
+    def _resync_in_block(self, start: int) -> None:
+        """Statement-level recovery INSIDE a graph block: skip to the next
+        '.' at depth 0 but never consume the block's closing '}', so the
+        remaining statements keep their graph context."""
+        self.i = max(self.i, start + 1)
+        depth = 0
+        while self.i < len(self.toks):
+            k, lex = self.toks[self.i]
+            if k == "punct" and lex == "}" and depth == 0:
+                return  # leave for parse_graph_block to consume
+            self.i += 1
+            if k == "punct":
+                if lex in "[({":
+                    depth += 1
+                elif lex in "])}":
+                    depth = max(0, depth - 1)
+                elif lex == "." and depth == 0:
                     return
 
     def parse_statement(self) -> None:
@@ -297,7 +327,15 @@ class _TurtleParser:
         self.ctx = graph
         try:
             while self.peek() is not None and self.peek() != ("punct", "}"):
-                self.parse_triples()
+                start = self.i
+                try:
+                    self.parse_triples()
+                except ValueError:
+                    if not getattr(self, "_dirty_ok", False):
+                        raise
+                    # recover WITHIN the block: later statements keep ctx
+                    self._resync_in_block(start)
+                    continue
                 if self.peek() == ("punct", "."):
                     self.next()
             self.expect_punct("}")

@@ -273,3 +273,38 @@ def test_endpoint_result_format_negotiation(spark):
             assert "<boolean>true</boolean>" in resp.read().decode()
     finally:
         ep.stop()
+
+
+def test_endpoint_update_snapshot_is_pinned(spark):
+    """After an update the endpoint snapshot must be the CHECKPOINTED
+    frame (localCheckpoint returns a new DataFrame): the plan must not
+    stack update history, and deleting a LOADed source file must not
+    break later queries (code-review regression)."""
+    import urllib.request
+
+    from halyard_spark import nt
+    from halyard_spark.endpoint import SparqlEndpoint
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("v"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    ep = SparqlEndpoint(g).start()
+    try:
+        for i in range(3):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{ep.port}/sparql",
+                data=f'INSERT DATA {{ <urn:n{i}> <urn:p> "x{i}" }}'.encode(),
+                headers={"Content-Type": "application/sparql-update"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.status == 204
+        plan = ep.triples._jdf.queryExecution().optimizedPlan().toString()
+        # a pinned snapshot is a LogicalRDD/checkpoint scan, not a stack
+        # of three unions over the original frame
+        assert "LogicalRDD" in plan or "Checkpoint" in plan, plan
+        assert plan.count("Union") == 0, plan
+        assert ep.triples.count() == 4
+    finally:
+        ep.stop()

@@ -77,3 +77,43 @@ def test_bulk_load_incremental_and_truncate(spark, tmp_path):
     # truncate wipes first (the reference's truncate-before-load option)
     m4 = rdfload.bulk_load_rdf(spark, str(tmp_path / "b.nt"), out, truncate=True)
     assert m4["triple_count"] == 2
+
+
+def test_jsonld_whole_document_reader(spark, tmp_path):
+    """.jsonld = one (pretty-printed) document per file, incl. @graph
+    containers — routed to the whole-document reader, not the
+    line-delimited one (code-review regression: multi-line JSON-LD used
+    to silently yield zero triples)."""
+    from halyard_spark.sources.rio import read_rdf
+
+    (tmp_path / "doc.jsonld").write_text(
+        """{
+  "@context": {"ex": "http://ex.org/"},
+  "@graph": [
+    {"@id": "ex:a", "ex:name": "Ann"},
+    {"@id": "ex:b", "ex:name": {"@value": "Ben", "@language": "en"}}
+  ]
+}"""
+    )
+    df = read_rdf(spark, str(tmp_path / "doc.jsonld"))
+    got = {(r["subj"], r["obj"]) for r in df.collect()}
+    assert got == {
+        ("<http://ex.org/a>", '"Ann"'),
+        ("<http://ex.org/b>", '"Ben"@en'),
+    }
+
+
+def test_read_rdf_remote_scheme_not_driver_expanded(spark):
+    """A schemed path (s3a://, hdfs://) must pass through to Spark for
+    target-filesystem glob expansion — never be expanded with the
+    driver-local glob (code-review regression: remote globs used to
+    raise FileNotFoundError from an empty local expansion)."""
+    from halyard_spark.sources.rio import read_rdf
+
+    try:
+        read_rdf(spark, "s3a://no-such-bucket/data/*.nt").count()
+        raise AssertionError("expected a Spark filesystem error")
+    except FileNotFoundError as exc:  # our expansion error = the regression
+        raise AssertionError(f"driver-local expansion intercepted the path: {exc}")
+    except Exception:
+        pass  # Spark-side error (no s3a filesystem here) is the correct path

@@ -136,3 +136,14 @@ def test_bnode_scope_across_files(spark, tmp_path):
         (tmp_path / f"f{i}.rdf").write_text(doc)
     df = read_rdfxml(spark, str(tmp_path) + "/*.rdf")
     assert len({r["subj"] for r in df.collect()}) == 2
+
+
+def test_rdf_type_property_attribute_is_resource():
+    """rdf:type as a property ATTRIBUTE takes a resource value
+    (RDF/XML 2.13), not a string literal (code-review regression)."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/">
+      <rdf:Description rdf:about="urn:s" rdf:type="http://ex.org/T"/>
+    </rdf:RDF>"""
+    rows = spo(parse_rdfxml(doc))
+    assert ("<urn:s>", f"<{RDF}type>", "<http://ex.org/T>") in rows

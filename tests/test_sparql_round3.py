@@ -761,3 +761,11 @@ def test_graph_var_composite_star_bound_source(spark, twograph):
         ("<urn:g1>", "<urn:a>"), ("<urn:g1>", "<urn:c>"),
         ("<urn:g2>", "<urn:a>"), ("<urn:g2>", "<urn:y>"),
     ])
+
+
+def test_bind_after_leading_values(spark, tree):
+    """BIND reads in-scope bindings: a leading VALUES must be live before
+    a BIND that references its variable (code-review regression)."""
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?y WHERE { VALUES ?x { 1 2 } BIND(?x + 1 AS ?y) }""")
+    assert sorted(r["y"] for r in out.collect()) == [2, 3]

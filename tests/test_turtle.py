@@ -336,3 +336,28 @@ def test_turtle_literal_roundtrip(s, p, label, lang):
     doc = f"@prefix ex: <http://e/> .\nex:{s} ex:{p} {term} ."
     quads = parse_turtle(doc, dirty_ok=False)
     assert quads == [(f"<http://e/{s}>", f"<http://e/{p}>", term, None)]
+
+
+def test_dirty_resync_inside_graph_block_keeps_ctx():
+    """A malformed statement inside a TriG graph block must not leak the
+    remaining statements into the default graph (code-review regression):
+    recovery happens WITHIN the block, preserving ctx."""
+    quads = parse_turtle(
+        """@prefix p: <urn:p:> .
+        GRAPH p:g { p:s p:o p:x . ??? ??? . p:s2 p:o p:y . }
+        p:after p:o p:z ."""
+    )
+    by_subj = {s: c for s, _, _, c in quads}
+    assert by_subj["<urn:p:s>"] == "<urn:p:g>"
+    assert by_subj["<urn:p:s2>"] == "<urn:p:g>"  # stayed in the graph
+    assert by_subj["<urn:p:after>"] is None
+
+
+def test_dirty_resync_skips_whole_bad_block():
+    """A failure at the block header skips the whole block, not into it."""
+    quads = parse_turtle(
+        """@prefix p: <urn:p:> .
+        GRAPH 42 { p:s p:o p:x . }
+        p:after p:o p:z ."""
+    )
+    assert [(s, c) for s, _, _, c in quads] == [("<urn:p:after>", None)]

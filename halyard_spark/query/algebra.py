@@ -30,35 +30,82 @@ def bgp_join(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.join(right, on=shared, how="inner")
 
 
-def optional_join(left: DataFrame, right: DataFrame, condition: Column | None = None) -> DataFrame:
+def optional_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column | None = None,
+    wildcard_cols: set | None = None,
+) -> DataFrame:
     """LeftJoin (OPTIONAL), condition evaluated in the right scope
-    (HTEE:770-866)."""
+    (HTEE:770-866).
+
+    wildcard_cols: shared columns where a NULL on the left means UNBOUND
+    (e.g. a VALUES UNDEF cell) — SPARQL compatibility says an unbound
+    variable matches ANY right binding, so those columns join with the
+    null-wildcard condition and the output takes whichever side is bound.
+    Ordinary shared columns keep the null-safe equality fast path."""
     shared = _shared_vars(left, right)
+    wc = set(wildcard_cols or ()) & set(shared)
     if shared:
-        cond = reduce(
-            lambda a, b: a & b, [left[c].eqNullSafe(right[c]) for c in shared]
-        )
+        terms = []
+        for c in shared:
+            if c in wc:
+                terms.append(left[c].isNull() | right[c].isNull() | (left[c] == right[c]))
+            else:
+                terms.append(left[c].eqNullSafe(right[c]))
+        cond = reduce(lambda a, b: a & b, terms)
         if condition is not None:
             cond = cond & condition
         joined = left.join(right, on=cond, how="left_outer")
-        # collapse the duplicated shared columns (keep left's)
-        for c in shared:
-            joined = joined.drop(right[c])
-        return joined
+        if not wc:
+            # collapse the duplicated shared columns (keep left's)
+            for c in shared:
+                joined = joined.drop(right[c])
+            return joined
+        left_cols = set(left.columns)
+        sel = [
+            (F.coalesce(left[c], right[c]) if c in wc else left[c]).alias(c)
+            for c in left.columns
+        ] + [right[c].alias(c) for c in right.columns if c not in left_cols]
+        return joined.select(*sel)
     if condition is not None:
         return left.join(right, on=condition, how="left_outer")
     return left.join(right, how="left_outer")
 
 
-def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+def minus(
+    left: DataFrame, right: DataFrame, wildcard_cols: set | None = None
+) -> DataFrame:
     """Difference (MINUS): drop left rows compatible with a right row
     sharing >=1 variable; rows with disjoint domains are KEPT
     (HTEE:944-994 — the SPARQL-algebra subtlety).
-    """
+
+    wildcard_cols: shared columns where a left NULL means UNBOUND.  With
+    any present, the anti-join uses full SPARQL compatibility — per
+    shared var: unbound-on-either-side OR equal — plus the >=1-var
+    overlap requirement evaluated PER ROW (an all-unbound row has a
+    disjoint domain and is kept)."""
     shared = _shared_vars(left, right)
     if not shared:
         return left  # no shared vars -> nothing is removed
-    return left.join(right.select(*shared).distinct(), on=shared, how="left_anti")
+    wc = set(wildcard_cols or ()) & set(shared)
+    r = right.select(*shared).distinct()
+    if not wc:
+        return left.join(r, on=shared, how="left_anti")
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__minus_{c}")
+    compat = reduce(
+        lambda a, b: a & b,
+        [
+            left[c].isNull() | r[f"__minus_{c}"].isNull() | (left[c] == r[f"__minus_{c}"])
+            for c in shared
+        ],
+    )
+    overlap = reduce(
+        lambda a, b: a | b,
+        [left[c].isNotNull() & r[f"__minus_{c}"].isNotNull() for c in shared],
+    )
+    return left.join(r, on=compat & overlap, how="left_anti")
 
 
 def intersection(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -815,20 +815,41 @@ class _Planner:
     def eval_group(self, elems: list) -> DataFrame:
         df: DataFrame | None = None
         filters = []
-        pending_values: list[DataFrame] = []
+        pending_values: list[tuple[DataFrame, set]] = []
+        # columns of `df` that may hold NULL-as-UNBOUND (VALUES UNDEF
+        # cells, OPTIONAL-introduced vars, BIND error->unbound).  Joins on
+        # such columns need SPARQL compatibility semantics (NULL matches
+        # anything) instead of the null-rejecting equi-join; plain BGP
+        # queries keep the pure equi-join fast path (set stays empty).
+        maybe_unbound: set[str] = set()
+
+        def join_part(cur: DataFrame | None, part: DataFrame, nonnull_part: bool = False) -> DataFrame:
+            """Join a pattern/sub-solution into the group, compat-aware."""
+            if cur is None:
+                return part
+            shared = set(part.columns) & set(cur.columns)
+            if maybe_unbound & shared:
+                out = A.values_join(cur, part)
+            else:
+                out = A.bgp_join(cur, part)
+            if nonnull_part:
+                # joined+coalesced against a never-null scan: those
+                # columns are definitely bound from here on
+                maybe_unbound.difference_update(shared)
+            return out
 
         def flush_values(cur: DataFrame | None) -> DataFrame | None:
             """Merge deferred leading VALUES tables into the solution.
 
             A VALUES table with a df already in scope joins IN PLACE at
             its textual position (SPARQL §10.2 translates inline data to a
-            Join there; pure joins commute so in-place == algebra order).
-            A LEADING VALUES is deferred only until the first pattern
-            exists — so UNDEF wildcards merge against bound columns via
-            values_join — and MUST be flushed before any order-sensitive
-            operator (OPTIONAL / MINUS), which is what this does."""
-            for vt in pending_values:
+            Join there).  A LEADING VALUES is deferred only until the
+            first pattern exists — so UNDEF wildcards merge against bound
+            columns via values_join — and MUST be flushed before any
+            order-sensitive operator (OPTIONAL / MINUS / BIND)."""
+            for vt, undef in pending_values:
                 cur = vt if cur is None else A.values_join(cur, vt)
+                maybe_unbound.update(undef)
             pending_values.clear()
             return cur
 
@@ -836,16 +857,13 @@ class _Planner:
             kind = el[0]
             if kind == "triple":
                 pat = self.eval_triple(el[1], el[2], el[3])
-                df = pat if df is None else A.bgp_join(df, pat)
+                df = join_part(df, pat, nonnull_part=True)
             elif kind == "group":
-                sub = self.eval_group(el[1])
-                df = sub if df is None else A.bgp_join(df, sub)
+                df = join_part(df, self.eval_group(el[1]))
             elif kind == "subquery":
-                sub = self.plan_select(el[1])
-                df = sub if df is None else A.bgp_join(df, sub)
+                df = join_part(df, self.plan_select(el[1]))
             elif kind == "union":
-                sub = self.eval_union(el)
-                df = sub if df is None else A.bgp_join(df, sub)
+                df = join_part(df, self.eval_union(el))
             elif kind == "graph":
                 prev = self.graph
                 self.graph = el[1]
@@ -853,33 +871,45 @@ class _Planner:
                     sub = self.eval_group(el[2])
                 finally:
                     self.graph = prev
-                df = sub if df is None else A.bgp_join(df, sub)
+                df = join_part(df, sub)
             elif kind == "service":
                 sub = self.eval_service(el[1], el[2], el[3])
                 if sub is not None:  # None = SILENT fallback (unit solution)
-                    df = sub if df is None else A.bgp_join(df, sub)
+                    df = join_part(df, sub)
             elif kind == "optional":
                 df = flush_values(df)
                 if df is None:
                     raise ValueError("SPARQL: OPTIONAL with no preceding pattern")
-                df = A.optional_join(df, self.eval_group(el[1]))
+                before = set(df.columns)
+                right = self.eval_group(el[1])
+                df = A.optional_join(df, right, wildcard_cols=maybe_unbound)
+                # vars introduced by the OPTIONAL side may be unbound
+                maybe_unbound.update(set(right.columns) - before)
+                # wildcard-joined vars were coalesced with the right side
+                # but stay unbound when the OPTIONAL found no match
             elif kind == "minus":
                 df = flush_values(df)
                 if df is None:
                     raise ValueError("SPARQL: MINUS with no preceding pattern")
-                df = A.minus(df, self.eval_group(el[1]))
+                df = A.minus(df, self.eval_group(el[1]), wildcard_cols=maybe_unbound)
             elif kind == "bind":
                 df = flush_values(df)  # BIND reads in-scope bindings, incl. a leading VALUES
                 if df is None:
                     df = self._unit()  # { BIND(...) ... } extends the empty solution
                 col, _k = self.eval_expr(el[1], df)
                 df = df.withColumn(el[2], E.bind_safe(col))
+                maybe_unbound.add(el[2])  # expression errors -> unbound
             elif kind == "values":
                 vt = self.eval_values(el)
+                undef = {
+                    v for i, v in enumerate(el[1])
+                    if any(row[i] is None for row in el[2])
+                }
                 if df is None:
-                    pending_values.append(vt)
+                    pending_values.append((vt, undef))
                 else:
                     df = A.values_join(df, vt)
+                    maybe_unbound.update(undef)
             elif kind == "filter":
                 filters.append(el[1])
             else:
@@ -1082,6 +1112,22 @@ class _Planner:
 
     _GRAPH_SEP = "\x00"  # cannot occur in N-Triples lexicals
 
+    @staticmethod
+    def _select_bindings(df: DataFrame, bindings: list[tuple[str, Column]]) -> DataFrame:
+        """Project (name, column) pairs as a solution frame.  A REPEATED
+        name becomes an equality constraint plus ONE output column — the
+        same rule eval_triple applies to a repeated variable inside one
+        pattern (`?s p+ ?s`, `GRAPH ?g { ?g p+ ?o }`)."""
+        first: dict[str, Column] = {}
+        out = []
+        for name, col in bindings:
+            if name in first:
+                df = df.where(first[name] == col)
+            else:
+                first[name] = col
+                out.append(col.alias(name))
+        return df.select(*out)
+
     def eval_path_closure(self, s, sub_path, mod: str, o) -> DataFrame:
         """Closure modifier over a sub-path (ArbitraryLengthPath /
         ZeroLengthPath, HTEE:1046-1098).  A bound endpoint routes to the
@@ -1158,16 +1204,14 @@ class _Planner:
                     )
             split_src = F.split(F.col("src"), self._GRAPH_SEP, 2)
             split_dst = F.split(F.col("dst"), self._GRAPH_SEP, 2)
-            cols = [split_src[0].alias(graph_var)]
+            bindings = [(graph_var, split_src[0])]
             if s_var and o_var:
-                cols += [split_src[1].alias(s[1]), split_dst[1].alias(o[1])]
+                bindings += [(s[1], split_src[1]), (o[1], split_dst[1])]
             elif s_var:  # bound object: pairs' dst is the reached source
-                cols += [split_dst[1].alias(s[1])]
+                bindings += [(s[1], split_dst[1])]
             elif o_var:
-                cols += [split_dst[1].alias(o[1])]
-            else:
-                cols = [split_src[0].alias(graph_var)]
-            return pairs.select(*cols)
+                bindings += [(o[1], split_dst[1])]
+            return self._select_bindings(pairs, bindings)
         if sub_path[0] == "link":  # fast path: single-predicate edge scan
             edges = self._scoped().where(F.col("pred") == nt.iri(sub_path[1])).select(
                 F.col("subj").alias("src"), F.col("obj").alias("dst")
@@ -1194,7 +1238,9 @@ class _Planner:
                     pairs = PATH.zero_or_one_path(edges, nodes=terms)
                 else:
                     pairs = PATH.transitive_closure(edges, min_length=0, nodes=terms)
-            return pairs.select(F.col("src").alias(s[1]), F.col("dst").alias(o[1]))
+            return self._select_bindings(
+                pairs, [(s[1], F.col("src")), (o[1], F.col("dst"))]
+            )
         if not s_var and not o_var:
             # both endpoints bound (the ASK shape): BFS from the source,
             # keep at most the one matching pair; the zero-column result

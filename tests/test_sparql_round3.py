@@ -769,3 +769,70 @@ def test_bind_after_leading_values(spark, tree):
     out = sparql_query(tree, PREFIXES + """
         SELECT ?y WHERE { VALUES ?x { 1 2 } BIND(?x + 1 AS ?y) }""")
     assert sorted(r["y"] for r in out.collect()) == [2, 3]
+
+
+# ------------------- UNDEF-as-unbound compatibility through later joins
+
+def test_values_undef_before_later_pattern(spark, tree):
+    """A mid-group VALUES UNDEF must keep acting as a wildcard against a
+    LATER triple pattern (the in-place join materializes UNDEF as NULL;
+    the later join needs compatibility semantics, not an equi-join) —
+    and the result must equal the trailing-VALUES ordering."""
+    q_mid = PREFIXES + """
+        SELECT ?s ?n ?x WHERE {
+          ?s ex:name ?n .
+          VALUES (?s ?x) { (ex:a UNDEF) }
+          ?s ex:childOf ?x
+        }"""
+    q_tail = PREFIXES + """
+        SELECT ?s ?n ?x WHERE {
+          ?s ex:name ?n . ?s ex:childOf ?x
+          VALUES (?s ?x) { (ex:a UNDEF) }
+        }"""
+    expect = [(nt.iri(EX + "a"), nt.lit("Ann"), nt.iri(EX + "b"))]
+    assert rows(sparql_query(tree, q_mid)) == expect
+    assert rows(sparql_query(tree, q_tail)) == expect
+
+
+def test_values_undef_before_optional_is_wildcard(spark, tree):
+    """A leading VALUES whose var is entirely UNDEF: the empty mapping is
+    compatible with EVERY optional solution (SPARQL LeftJoin), so the
+    OPTIONAL fills the variable per match instead of matching nothing."""
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?n WHERE {
+          VALUES ?s { UNDEF }
+          OPTIONAL { ?s ex:name ?n }
+        }""")
+    got = rows(out)
+    assert (nt.iri(EX + "a"), nt.lit("Ann")) in got
+    assert (nt.iri(EX + "x"), nt.lit("Xen")) in got
+    assert len(got) == 4  # one per name; no (null, null) row
+
+
+def test_values_undef_before_minus_removes_compatible(spark, tree):
+    """MINUS compatibility with an unbound var: the mapping (UNDEF ?s,
+    "Ann" ?n) shares the bound ?n with solution (a, "Ann"), so it must be
+    removed; a row whose bound var matches nothing survives."""
+    out = sparql_query(tree, PREFIXES + """
+        SELECT ?s ?n WHERE {
+          VALUES (?s ?n) { (UNDEF "Ann") (UNDEF "Zzz") }
+          MINUS { ?s ex:name ?n }
+        }""")
+    assert rows(out) == [(None, nt.lit("Zzz"))]
+
+
+def test_path_closure_repeated_var(spark):
+    """`?s p+ ?s` (cycle detection) and `GRAPH ?g { ?g p+ ?o }` are valid
+    SPARQL: a repeated variable becomes an equality constraint, not an
+    ambiguous-column crash."""
+    data = [
+        ("<urn:c1>", "<urn:p>", "<urn:c2>", None),
+        ("<urn:c2>", "<urn:p>", "<urn:c1>", None),
+        ("<urn:c2>", "<urn:p>", "<urn:d>", None),
+        ("<urn:g>", "<urn:p>", "<urn:o>", "<urn:g>"),
+    ]
+    g = spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+    cyc = sparql_query(g, "SELECT ?s WHERE { ?s <urn:p>+ ?s }")
+    assert sorted(r["s"] for r in cyc.collect()) == ["<urn:c1>", "<urn:c2>"]
+    gg = sparql_query(g, "SELECT ?g ?o WHERE { GRAPH ?g { ?g <urn:p>+ ?o } }")
+    assert rows(gg) == [("<urn:g>", "<urn:o>")]

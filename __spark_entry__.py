@@ -1153,7 +1153,7 @@ _JACCARD_PAIRS_SQL = f"""
                FROM tok WHERE len(t) >= 2),
         ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
         pr AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
-        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM pr GROUP BY doc_id),
         inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
                   FROM pr x JOIN pr y USING (shingle) WHERE x.doc_id < y.doc_id
                   GROUP BY x.doc_id, y.doc_id)

@@ -72,16 +72,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 100,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets.
+    """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets
+    RESTRICTED to the df-capped vocabulary (shingles with doc-freq >
+    max_df carry no pair signal and would blow up the candidate join).
 
     (a, b, jaccard) for pairs with jaccard >= threshold.  Intersections
-    come from the shared-shingle join; unions from per-doc set sizes —
-    never a full cross product.
+    AND set sizes are both computed over the same pruned shingle set, so
+    the ratio is the exact Jaccard within that vocabulary — mixing pruned
+    intersections with unpruned sizes would bias the metric low whenever
+    near-identical docs share a ubiquitous (boilerplate) shingle.
     """
     sh = shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    df_ok = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
+    )
+    pruned = sh.join(df_ok.select("shingle"), "shingle")
+    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = pruned.select("shingle", F.col(id_col).alias("a"))
+    b = pruned.select("shingle", F.col(id_col).alias("b"))
     inter = (
-        _pair_candidates(sh, id_col, "shingle", max_df)
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -122,6 +133,12 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via MinHash banding: k hashes split into
     `bands` bands of k/bands rows; docs sharing any full band collide.
     Returns (a, b, n_shared_bands)."""
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands ({bands}) must divide k ({k}) — "
+            "otherwise band keys silently drop hashes (and bands > k "
+            "degenerates every key to the empty string)"
+        )
     r = k // bands
     sig = minhash_signatures(docs, id_col, text_col, n, k)
     band_cols = [
@@ -287,9 +304,11 @@ def embedding_cosine_pairs(
     """
     from halyard_spark.ops.simsearch import _dot, _norm, lsh_buckets
 
-    nrm = emb.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).withColumn("__n", _norm(F.col("__vec")))
+    nrm = (
+        emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .withColumn("__n", _norm(F.col("__vec")))
+        .where(F.col("__n") > 0)  # zero vectors: no direction, ANSI div-by-0
+    )
 
     if method == "exact":
         a = nrm.select(

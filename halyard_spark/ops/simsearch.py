@@ -31,7 +31,11 @@ def _norm(a: Column) -> Column:
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return emb.withColumn("_norm", _norm(F.col(vec_col)))
+    """Attach the L2 norm and DROP zero-norm rows: a zero vector has no
+    direction, and under the session's default ANSI mode an unguarded
+    cosine division would kill the whole job (DIVIDE_BY_ZERO) the moment
+    one empty-document embedding appears in the corpus."""
+    return emb.withColumn("_norm", _norm(F.col(vec_col))).where(F.col("_norm") > 0)
 
 
 def cosine_topk(
@@ -48,8 +52,12 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    ).withColumn("_qnorm", _norm(F.col("_qvec")))
-    c = emb.select(F.col(id_col), F.col(vec_col)).withColumn("_norm", _norm(F.col(vec_col)))
+    ).withColumn("_qnorm", _norm(F.col("_qvec"))).where(F.col("_qnorm") > 0)
+    c = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_norm", _norm(F.col(vec_col)))
+        .where(F.col("_norm") > 0)  # zero vectors: no direction, ANSI div-by-0
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
@@ -143,8 +151,13 @@ def ivf_assign(
         seeds.withColumn("cell", F.row_number().over(w_small) - 1)
         .select("cell", F.col(vec_col).alias("_cvec"))
         .withColumn("_cnorm", _norm(F.col("_cvec")))
+        .where(F.col("_cnorm") > 0)
     )
-    cand = emb.select(id_col, vec_col).withColumn("_norm", _norm(F.col(vec_col)))
+    cand = (
+        emb.select(id_col, vec_col)
+        .withColumn("_norm", _norm(F.col(vec_col)))
+        .where(F.col("_norm") > 0)
+    )
     scored = cand.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", _dot(F.col(vec_col), F.col("_cvec")) / (F.col("_norm") * F.col("_cnorm"))
     )
@@ -175,7 +188,7 @@ def ivf_topk(
     centroids, assignments = ivf_assign(emb, n_cells, id_col, vec_col, total=total)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")).withColumn(
         "_qnorm", _norm(F.col("_qvec"))
-    )
+    ).where(F.col("_qnorm") > 0)
     qc = q.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm"))
     )
@@ -189,6 +202,7 @@ def ivf_topk(
         emb.select(id_col, vec_col)
         .join(assignments, id_col)
         .withColumn("_norm", _norm(F.col(vec_col)))
+        .where(F.col("_norm") > 0)
     )
     scored = (
         cands.join(probes, "cell")
@@ -231,8 +245,12 @@ def lsh_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")).withColumn(
         "_qnorm", _norm(F.col("_qvec"))
+    ).where(F.col("_qnorm") > 0)
+    c = (
+        emb.select(id_col, vec_col)
+        .withColumn("_norm", _norm(F.col(vec_col)))
+        .where(F.col("_norm") > 0)
     )
-    c = emb.select(id_col, vec_col).withColumn("_norm", _norm(F.col(vec_col)))
     scored = (
         pairs.join(c, id_col)
         .join(F.broadcast(q), "query_id")

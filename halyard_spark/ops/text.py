@@ -44,16 +44,23 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """
     t = tokens(text_col)
     n = F.size(t)
+
+    def ratio(num):
+        # empty/whitespace-only documents have n=0: their ratios (and
+        # quality) are defined as 0 rather than killing the whole job
+        # with an ANSI DIVIDE_BY_ZERO on one bad row
+        return F.when(n > 0, num / n).otherwise(F.lit(0.0))
+
     stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
     dist = F.size(F.array_distinct(t))
-    avg_len = F.length(F.concat_ws("", t)) / n
+    avg_len = ratio(F.length(F.concat_ws("", t)))
     return docs.select(
         F.col(id_col),
-        F.round(stop / n, 6).alias("stop_ratio"),
-        F.round(dist / n, 6).alias("distinct_ratio"),
+        F.round(ratio(stop), 6).alias("stop_ratio"),
+        F.round(ratio(dist), 6).alias("distinct_ratio"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(
-            (F.least(n / F.lit(100.0), F.lit(1.0)) + (stop / n) + (dist / n)) / 3.0, 6
+            (F.least(n / F.lit(100.0), F.lit(1.0)) + ratio(stop) + ratio(dist)) / 3.0, 6
         ).alias("quality"),
     )
 

@@ -94,7 +94,7 @@ def file_meta(src: DataFrame) -> DataFrame:
     """Per-file metadata incl. the sha256 invariant — all JVM-side
     (codegen'd), one row per file."""
     return src.select(
-        F.xxhash64("repo", "path").alias("fid"),
+        _fid(),
         "repo",
         "path",
         "commit",
@@ -103,11 +103,18 @@ def file_meta(src: DataFrame) -> DataFrame:
     )
 
 
+def _fid():
+    """File id for the narrow Arrow boundary: includes COMMIT so two
+    snapshots of the same path never share an id (a shared id would
+    cross-join both versions' metadata onto every mention through the
+    fid join).  64-bit collisions remain theoretical at ~10^9 files;
+    the downstream quad emission is keyed on the full natural columns."""
+    return F.xxhash64("repo", "path", "commit").alias("fid")
+
+
 def extract_mentions(src: DataFrame) -> DataFrame:
     """src(repo,path,commit,lang,content) -> mentions."""
-    compact = src.select(
-        F.xxhash64("repo", "path").alias("fid"), "lang", "path", "content"
-    )
+    compact = src.select(_fid(), "lang", "path", "content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

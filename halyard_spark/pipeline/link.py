@@ -59,7 +59,9 @@ def link_mentions(
     count job from the auto strategy probe.
     """
     refs = mentions.filter(F.col("kind").isin("import", "xref"))
-    ref_kind = F.when(F.col("kind") == "import", F.lit("module")).otherwise(F.lit("module"))
+    # both import and xref targets are module names in this corpus; a
+    # future per-kind dispatch would branch here
+    ref_kind = F.lit("module")
     refs = refs.withColumn("target_kind", ref_kind)
 
     if strategy == "auto":

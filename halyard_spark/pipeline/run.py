@@ -116,8 +116,13 @@ def run_pipeline(
         dictionary, linked = f_link.result()
         canonical = f_canon.result()
 
-    src_meta = src.select(
-        "repo", "path", "commit", "lang", F.sha2(F.col("content").cast("binary"), 256).alias("content_sha256")
+    # per-file metadata from the PERSISTED mentions registry (kind='file',
+    # exactly one row per input file) — the sha256 was already computed in
+    # the extract stage; rebuilding it from src would be a second full
+    # scan + hash of the corpus' widest column, and would run even when
+    # extract was resumed from parquet
+    src_meta = mentions.where(F.col("kind") == "file").select(
+        "repo", "path", "commit", "lang", "content_sha256"
     )
 
     # Triple emission is FUSED with materialization: the "triples" stage

@@ -60,16 +60,30 @@ def stream_tumbling_agg(
     )
 
 
+def _epoch_write(df: DataFrame, base: str, epoch: int) -> None:
+    """Idempotent per-epoch parquet write: each epoch OVERWRITES its own
+    partition directory, so a foreachBatch retry (which re-runs the whole
+    epoch) replaces rather than duplicates — turning foreachBatch's
+    at-least-once contract into exactly-once output, the streaming analog
+    of the reference's atomic HFile adopt
+    (tools/.../HalyardBulkLoad.java:567).  Readers see `epoch` as a
+    partition column; read_epochs() drops it."""
+    df.write.mode("overwrite").parquet(f"{base}/epoch={epoch}")
+
+
+def read_epochs(spark: SparkSession, base: str) -> DataFrame:
+    """All committed epochs of an _epoch_write sink, epoch column dropped."""
+    return spark.read.parquet(base).drop("epoch")
+
+
 def stream_triple_ingest(spark: SparkSession, src_stream: DataFrame, out_dir: str) -> None:
-    """Incremental bulk-load: stream of src rows -> extract -> append
-    triples.  foreachBatch gives exactly-once parquet appends per epoch —
-    the streaming analog of the reference's atomic HFile adopt
-    (tools/.../HalyardBulkLoad.java:567)."""
+    """Incremental bulk-load: stream of src rows -> extract -> per-epoch
+    idempotent append (see _epoch_write)."""
     from halyard_spark.pipeline import extract
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         mentions = extract.extract_mentions(batch_df)
-        mentions.write.mode("append").parquet(f"{out_dir}/mentions_stream")
+        _epoch_write(mentions, f"{out_dir}/mentions_stream", epoch)
 
     q = src_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -83,7 +97,7 @@ def stream_ndjsonld_ingest(spark: SparkSession, lines_stream: DataFrame, out_dir
     from halyard_spark.sources.rio import ndjsonld_to_triples
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
-        ndjsonld_to_triples(batch_df).write.mode("append").parquet(f"{out_dir}/triples_stream")
+        _epoch_write(ndjsonld_to_triples(batch_df), f"{out_dir}/triples_stream", epoch)
 
     q = lines_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -110,15 +124,25 @@ def stream_exact_dedup(
     out_path = f"{out_dir}/docs_dedup_stream"
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
+        import os
+
         batch = batch_df.withColumn(
             "digest", F.sha2(F.col(text_col).cast("binary"), 256)
         ).dropDuplicates(["digest"])
-        try:
-            seen = batch_df.sparkSession.read.parquet(out_path).select("digest")
+        # FAIL CLOSED: only a genuinely-absent sink skips the seen-set;
+        # any other read error (corrupt footer, permissions, transient
+        # FS) must abort the epoch, not silently disable dedup
+        if os.path.exists(out_path):
+            # exclude THIS epoch's own partition (it is about to be
+            # overwritten): a retried epoch must re-admit its own rows,
+            # not anti-join them away against its failed first attempt
+            seen = (
+                batch_df.sparkSession.read.parquet(out_path)
+                .where(F.col("epoch") != epoch)
+                .select("digest")
+            )
             batch = batch.join(seen, "digest", "left_anti")
-        except Exception:
-            pass  # first epoch: nothing committed yet
-        batch.write.mode("append").parquet(out_path)
+        _epoch_write(batch, out_path, epoch)
 
     q = docs_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()

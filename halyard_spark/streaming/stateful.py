@@ -71,9 +71,13 @@ def run_user_totals_once(spark: SparkSession, events_path: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    # update mode emits one row per key per micro-batch; the last row per
-    # key is the final running total
+    # update mode emits one row per key per micro-batch; the LATEST row
+    # per key is the final running total.  n_events is the per-key event
+    # COUNT, so it is strictly monotone across batches — select the row
+    # with the max count and take ITS total via max_by (independent
+    # per-column max could pair a count and a total from different
+    # batches, wrong whenever values go negative)
     return spark.sql(f"SELECT * FROM {name}").groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
     )

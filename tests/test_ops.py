@@ -161,3 +161,59 @@ def test_embedding_cosine_pairs_lsh_recall(spark):
     assert len(lsh) / len(exact) >= 0.8, f"recall {len(lsh)/len(exact):.2f}"
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_zero_norm_embeddings_dont_crash(spark):
+    """One all-zeros embedding must not kill cosine jobs with an ANSI
+    DIVIDE_BY_ZERO, nor rank as a phantom neighbor (code-review
+    regression): zero vectors have no direction and are excluded."""
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]),
+         Row(vec_id=2, embedding=[0.9, 0.1]),
+         Row(vec_id=3, embedding=[0.0, 0.0])]
+    )
+    top = S.cosine_topk(emb, emb, k=2)
+    ids = {r["vec_id"] for r in top.collect()}
+    assert 3 not in ids  # the zero vector is never a neighbor
+    assert {(r["query_id"]) for r in top.collect()} == {1, 2}  # nor a query
+    pairs = D.embedding_cosine_pairs(emb, 0.5, method="exact")
+    assert {(r["a"], r["b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_quality_score_empty_document(spark):
+    """An empty / whitespace-only document scores 0 instead of killing
+    the stage with DIVIDE_BY_ZERO (code-review regression)."""
+    from halyard_spark.ops import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "hello the world"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality"] for r in TX.quality_score(docs).collect()}
+    assert got[2] == 0.0 and got[3] == 0.0 and got[1] > 0.0
+
+
+def test_minhash_bands_must_divide_k(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        D.minhash_lsh_pairs(docs, k=8, bands=16)
+    with pytest.raises(ValueError, match="must divide"):
+        D.minhash_lsh_pairs(docs, k=10, bands=4)
+
+
+def test_jaccard_sizes_over_pruned_vocabulary(spark):
+    """A ubiquitous (df > max_df) shingle shared by a near-identical pair
+    must not drag their Jaccard below threshold: sizes and intersections
+    use the same df-pruned vocabulary (code-review regression)."""
+    common = "x y"  # one shared bigram in every doc -> df-capped away
+    rows = [(1, f"{common} a b c d"), (2, f"{common} a b c d")] + [
+        (i, f"{common} unique{i} token{i}") for i in range(3, 10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.99, max_df=5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0  # identical within the pruned vocabulary

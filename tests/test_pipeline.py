@@ -198,3 +198,25 @@ def test_iceberg_writer_gated(spark):
             "subj string, pred string, obj string, ctx string",
         )
         materialize.write_sorted_iceberg(src, "local.db.t", materialize.INDEXES["spo"], 2)
+
+
+def test_extract_two_commits_same_path(spark):
+    """Two snapshots of the same (repo, path) at different commits must
+    keep separate identities: no metadata cross-join through the file id
+    (code-review regression — fid now includes commit)."""
+    rows = [
+        ("r", "src/pkg0/m.py", "c1", "python", "class A:\n    pass\n"),
+        ("r", "src/pkg0/m.py", "c2", "python", "class B:\n    pass\n"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    m = extract.extract_mentions(src)
+    files = m.where(F.col("kind") == "file").collect()
+    assert len(files) == 2  # one registry row per (path, commit)
+    assert len({r["content_sha256"] for r in files}) == 2
+    # each class mention carries ITS OWN commit's sha, exactly once
+    cls = m.where(F.col("kind") == "class").collect()
+    assert len(cls) == 2
+    by_name = {r["name"]: r["commit"] for r in cls}
+    assert by_name == {"A": "c1", "B": "c2"}

@@ -20,7 +20,7 @@ def test_stream_triple_ingest_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(src.schema).parquet(src_dir)
     ingest.stream_triple_ingest(spark, stream, out)
 
-    streamed = spark.read.parquet(f"{out}/mentions_stream")
+    streamed = ingest.read_epochs(spark, f"{out}/mentions_stream")
     batch = extract.extract_mentions(spark.read.parquet(src_dir))
     cols = batch.columns
     assert streamed.select(cols).exceptAll(batch).count() == 0
@@ -61,7 +61,8 @@ def test_stream_ndjsonld_ingest_equals_batch(spark, tmp_path):
     stream = spark.readStream.schema("value string").text(src_dir)
     stream_ndjsonld_ingest(spark, stream, out)
 
-    streamed = {tuple(r) for r in spark.read.parquet(f"{out}/triples_stream").collect()}
+    from halyard_spark.streaming.ingest import read_epochs
+    streamed = {tuple(r) for r in read_epochs(spark, f"{out}/triples_stream").collect()}
     batch = {tuple(r) for r in ndjsonld_to_triples(spark.read.text(src_dir)).collect()}
     assert streamed == batch and len(batch) == 3
 
@@ -79,8 +80,46 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     out = str(tmp_path / "out")
     stream_exact_dedup(spark, stream, out)
-    got = spark.read.parquet(f"{out}/docs_dedup_stream")
+    from halyard_spark.streaming.ingest import read_epochs
+    got = read_epochs(spark, f"{out}/docs_dedup_stream")
     texts = [r["text"] for r in got.collect()]
     assert sorted(set(texts)) == sorted(texts)  # no duplicate content survived
     assert len(texts) == 6
     assert len(glob.glob(f"{src}/*.parquet")) > 1  # really exercised >1 epoch
+
+
+def test_epoch_write_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running an epoch (driver retry)
+    must REPLACE that epoch's output, not append duplicates
+    (code-review regression)."""
+    from halyard_spark.streaming.ingest import _epoch_write, read_epochs
+
+    base = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    _epoch_write(df, base, 0)
+    _epoch_write(df, base, 0)  # the retry
+    _epoch_write(spark.createDataFrame([(3, "c")], "id long, v string"), base, 1)
+    got = sorted(tuple(r) for r in read_epochs(spark, base).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_dedup_fails_closed_on_corrupt_state(spark, tmp_path):
+    """A corrupt committed sink must ABORT the epoch, not silently skip
+    the seen-set and re-admit duplicates (code-review regression)."""
+    import os
+
+    import pytest
+
+    from halyard_spark.streaming.ingest import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    sink_path = f"{out}/docs_dedup_stream"
+    os.makedirs(f"{sink_path}/epoch=0")
+    with open(f"{sink_path}/epoch=0/part-00000.parquet", "w") as f:
+        f.write("not a parquet file")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(Exception):
+        stream_exact_dedup(spark, stream, out)

@@ -46,6 +46,23 @@ def unescape(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             n = s[i + 1]
+            # \uXXXX / \UXXXXXXXX numeric escapes (the reference's
+            # NTriplesUtil writer emits them for non-ASCII); malformed
+            # sequences fall back to the literal chars
+            if n == "u" and i + 6 <= len(s):
+                try:
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            if n == "U" and i + 10 <= len(s):
+                try:
+                    out.append(chr(int(s[i + 2 : i + 10], 16)))
+                    i += 10
+                    continue
+                except ValueError:
+                    pass
             out.append({"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}.get(n, n))
             i += 2
         else:
@@ -159,7 +176,14 @@ _SENTINEL = ""
 
 def nt_unescape(col: str | Column) -> Column:
     """Inverse of nt_escape.  Escaped backslashes are parked on a sentinel
-    first so ``\\\\n`` (escaped backslash + n) does not become a newline."""
+    first so ``\\\\n`` (escaped backslash + n) does not become a newline.
+
+    Known gap vs the Python codec: ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric
+    escapes pass through UNCHANGED (regexp_replace cannot compute a
+    codepoint).  This repo's writers emit raw UTF-8 (never numeric
+    escapes), so the gap only affects externally-authored N-Triples
+    using them; route such data through the Python/Arrow parse path
+    (nt.unescape decodes them correctly)."""
     c = _c(col)
     c = F.regexp_replace(c, r"\\\\", _SENTINEL)
     c = F.regexp_replace(c, r"\\n", "\n")

@@ -110,8 +110,13 @@ def minus(
 
 def intersection(left: DataFrame, right: DataFrame) -> DataFrame:
     """Intersection: left rows whose full binding set appears in right
-    (HTEE:900-936; spill set -> Spark native left-semi)."""
-    return left.join(right, on=left.columns, how="left_semi")
+    (HTEE:900-936; spill set -> Spark native left-semi).  Null-safe per
+    column: a row containing an unbound value present in BOTH inputs is
+    in the intersection (plain equality would drop it)."""
+    cond = reduce(
+        lambda a, b: a & b, [left[c].eqNullSafe(right[c]) for c in left.columns]
+    )
+    return left.join(right, on=cond, how="left_semi")
 
 
 def union_bag(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -203,9 +208,30 @@ def multi_projection(df: DataFrame, templates: list[dict[str, Column]]) -> DataF
     return exploded.select(*[F.col(f"_t.{c}").alias(c) for c in cols]).dropDuplicates()
 
 
-def exists_filter(df: DataFrame, sub: DataFrame, negate: bool = False) -> DataFrame:
+def exists_filter(
+    df: DataFrame, sub: DataFrame, negate: bool = False, wildcard_cols: set | None = None
+) -> DataFrame:
     """(NOT) EXISTS per row -> (anti-)semi join on shared vars
-    (HTEE value-expr Exists :992-996)."""
+    (HTEE value-expr Exists :992-996).
+
+    wildcard_cols: shared columns where a NULL on the df side means
+    UNBOUND — substituting an unbound variable leaves the pattern's
+    variable free, so it matches any sub binding (null-wildcard
+    condition) instead of equi-matching nothing."""
     shared = _shared_vars(df, sub)
     how = "left_anti" if negate else "left_semi"
-    return df.join(sub.select(*shared).distinct(), on=shared, how=how)
+    wc = set(wildcard_cols or ()) & set(shared)
+    r = sub.select(*shared).distinct()
+    if not wc:
+        return df.join(r, on=shared, how=how)
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__ex_{c}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            (df[c].isNull() | (df[c] == r[f"__ex_{c}"])) if c in wc
+            else df[c].eqNullSafe(r[f"__ex_{c}"])
+            for c in shared
+        ],
+    )
+    return df.join(r, on=cond, how=how)

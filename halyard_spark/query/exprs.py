@@ -32,15 +32,22 @@ def try_numeric(col: str | Column) -> Column:
 
 
 def ebv(col: str | Column) -> Column:
-    """Effective boolean value (HalyardValueExprEvaluation.java:104-111):
-    booleans as-is; numbers: != 0; strings: non-empty; error -> NULL."""
+    """Effective boolean value (HalyardValueExprEvaluation.java:104-111
+    -> QueryEvaluationUtil): booleans as-is; numeric datatypes: value !=
+    0, ILL-FORMED numeric lexical -> false; string-ish literals:
+    non-empty; IRIs / bnodes -> type error (NULL -> FILTER false).
+    Deviation kept from round 1: lang-tagged literals use the string
+    rule, and a PLAIN literal whose lexical parses as a number keeps the
+    numeric rule."""
     c = nt.nt_str(col)
     num = c.try_cast("double")
-    return (
+    lit_ebv = (
         F.when(F.lower(c).isin("true", "false"), F.lower(c) == "true")
+        .when(is_numeric_term(col), F.coalesce(num != 0.0, F.lit(False)))
         .when(num.isNotNull(), num != 0.0)
         .otherwise(F.length(c) > 0)
     )
+    return F.when(nt.nt_is_literal(col), lit_ebv)  # non-literal: error
 
 
 def filter_cond(cond: Column) -> Column:
@@ -58,11 +65,17 @@ def sparql_compare(a: str | Column, b: str | Column) -> Column:
     """SPARQL value comparison key: numeric promotion when both terms are
     numeric, else string comparison on the lexical form
     (HalyardValueExprEvaluation.java:815-819 -> QueryEvaluationUtil)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
     na, nb = try_numeric(a), try_numeric(b)
     both_num = na.isNotNull() & nb.isNotNull()
-    return F.when(both_num, F.when(na < nb, -1).when(na > nb, 1).otherwise(0)).otherwise(
+    key = F.when(both_num, F.when(na < nb, -1).when(na > nb, 1).otherwise(0)).otherwise(
         F.when(nt.nt_str(a) < nt.nt_str(b), -1).when(nt.nt_str(a) > nt.nt_str(b), 1).otherwise(0)
     )
+    # comparing an UNBOUND operand is a type error (NULL -> FILTER
+    # false), not "equal": without this guard every when() condition is
+    # NULL and the otherwise(0) arm declares the terms equal
+    return F.when(ca.isNotNull() & cb.isNotNull(), key)
 
 
 _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
@@ -127,10 +140,20 @@ def iri_resolve(value: Column, base: str | None = None) -> Column:
     if base is None:
         resolved = F.when(is_abs, s)  # no base: relative -> NULL (error)
     else:
-        b_dir = base.rsplit("/", 1)[0] + "/" if "/" in base else base
-        b_root = base.split("://", 1)[0] + "://" + base.split("://", 1)[1].split("/", 1)[0] if "://" in base else base
+        if "://" in base:
+            scheme, rest = base.split("://", 1)
+            authority, _, path = rest.partition("/")
+            b_root = f"{scheme}://{authority}"
+            # directory of the base path; a path-less base resolves
+            # relative refs against the authority root (the old rsplit
+            # ate into '://' and turned the ref into the host)
+            b_dir = b_root + ("/" + path.rsplit("/", 1)[0] + "/" if "/" in path else "/")
+        else:
+            b_root = base
+            b_dir = base.rsplit("/", 1)[0] + "/" if "/" in base else base
         resolved = (
             F.when(is_abs, s)
+            .when(s.startswith("#"), F.concat(F.lit(base), s))  # same-document ref
             .when(s.startswith("/"), F.concat(F.lit(b_root), s))
             .otherwise(F.concat(F.lit(b_dir), s))
         )
@@ -162,7 +185,11 @@ def bnode_seeded(*cols: Column, label: str = "b") -> Column:
     node derived from the hashed binding values
     (HalyardValueExprEvaluation.java:234-246 seeds the generated node from
     the bindings so repeated evaluation is stable)."""
-    seed = F.sha1(F.concat_ws("", F.lit(label), *cols).cast("binary"))
+    # explicit null marker: concat_ws SKIPS NULLs, so the distinct
+    # binding tuples (NULL,'a') and ('a',NULL) would otherwise collide
+    # onto one blank node
+    parts = [F.coalesce(c.cast("string"), F.lit("\x00unbound")) for c in cols]
+    seed = F.sha1(F.concat_ws("", F.lit(label), *parts).cast("binary"))
     return F.concat(F.lit("_:"), F.lit(label), seed)
 
 
@@ -173,8 +200,13 @@ def order_key(col: str | Column, ascending: bool = True) -> list[Column]:
     re-wrapped with .desc() — nested SortOrder breaks codegen); NULL
     numeric keys (non-numeric literals) always sort after numerics."""
     c = F.col(col) if isinstance(col, str) else col
+    # SPARQL 15.1: unbound sorts before ALL RDF terms, then bnodes,
+    # IRIs, literals
     rank = (
-        F.when(nt.nt_is_bnode(c), 0).when(nt.nt_is_iri(c), 1).otherwise(2)
+        F.when(c.isNull(), -1)
+        .when(nt.nt_is_bnode(c), 0)
+        .when(nt.nt_is_iri(c), 1)
+        .otherwise(2)
     )
     num = try_numeric(c)
     if ascending:

@@ -43,6 +43,7 @@ def statement_pattern(
             df = df.filter(F.col(pos) == term)
     vars = vars or {}
     out_cols = []
+    seen: dict[str, str] = {}
     for pos in _POSITIONS:
         if bound[pos] is not None or pos not in df.columns:
             continue
@@ -51,5 +52,12 @@ def statement_pattern(
         # and (correctly but surprisingly) empty every BGP join.
         if pos == "ctx" and "ctx" not in vars:
             continue
-        out_cols.append(F.col(pos).alias(vars.get(pos, pos)))
+        name = vars.get(pos, pos)
+        if name in seen:
+            # repeated variable in one pattern (?x <p> ?x): equality
+            # constraint + a single output column, as in SPARQL
+            df = df.filter(F.col(seen[name]) == F.col(pos))
+            continue
+        seen[name] = pos
+        out_cols.append(F.col(pos).alias(name))
     return df.select(*out_cols)

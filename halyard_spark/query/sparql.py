@@ -812,7 +812,7 @@ class _Planner:
             out.extend(cls._reorder_bgp(run))
         return out
 
-    def eval_group(self, elems: list) -> DataFrame:
+    def eval_group(self, elems: list, report_unbound: set | None = None) -> DataFrame:
         df: DataFrame | None = None
         filters = []
         pending_values: list[tuple[DataFrame, set]] = []
@@ -823,18 +823,28 @@ class _Planner:
         # queries keep the pure equi-join fast path (set stays empty).
         maybe_unbound: set[str] = set()
 
-        def join_part(cur: DataFrame | None, part: DataFrame, nonnull_part: bool = False) -> DataFrame:
-            """Join a pattern/sub-solution into the group, compat-aware."""
+        def join_part(
+            cur: DataFrame | None,
+            part: DataFrame,
+            nonnull_part: bool = False,
+            part_unbound: set | None = None,
+        ) -> DataFrame:
+            """Join a pattern/sub-solution into the group, compat-aware on
+            columns that may be NULL-as-unbound on EITHER side."""
+            part_unbound = part_unbound or set()
             if cur is None:
+                maybe_unbound.update(part_unbound)
                 return part
             shared = set(part.columns) & set(cur.columns)
-            if maybe_unbound & shared:
+            if (maybe_unbound | part_unbound) & shared:
                 out = A.values_join(cur, part)
             else:
                 out = A.bgp_join(cur, part)
+            maybe_unbound.update(part_unbound - shared)
+            # shared cols come out of the join coalesced: they stay
+            # maybe-unbound only when BOTH sides could be null (already in
+            # maybe_unbound); a never-null scan side clears them entirely
             if nonnull_part:
-                # joined+coalesced against a never-null scan: those
-                # columns are definitely bound from here on
                 maybe_unbound.difference_update(shared)
             return out
 
@@ -859,7 +869,9 @@ class _Planner:
                 pat = self.eval_triple(el[1], el[2], el[3])
                 df = join_part(df, pat, nonnull_part=True)
             elif kind == "group":
-                df = join_part(df, self.eval_group(el[1]))
+                sub_unbound: set = set()
+                sub = self.eval_group(el[1], report_unbound=sub_unbound)
+                df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "subquery":
                 df = join_part(df, self.plan_select(el[1]))
             elif kind == "union":
@@ -867,11 +879,12 @@ class _Planner:
             elif kind == "graph":
                 prev = self.graph
                 self.graph = el[1]
+                sub_unbound = set()
                 try:
-                    sub = self.eval_group(el[2])
+                    sub = self.eval_group(el[2], report_unbound=sub_unbound)
                 finally:
                     self.graph = prev
-                df = join_part(df, sub)
+                df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "service":
                 sub = self.eval_service(el[1], el[2], el[3])
                 if sub is not None:  # None = SILENT fallback (unit solution)
@@ -881,8 +894,11 @@ class _Planner:
                 if df is None:
                     raise ValueError("SPARQL: OPTIONAL with no preceding pattern")
                 before = set(df.columns)
-                right = self.eval_group(el[1])
-                df = A.optional_join(df, right, wildcard_cols=maybe_unbound)
+                sub_unbound = set()
+                right = self.eval_group(el[1], report_unbound=sub_unbound)
+                # wildcard on cols unbound-able on EITHER side (a nested
+                # OPTIONAL/BIND inside the group can emit NULL bindings)
+                df = A.optional_join(df, right, wildcard_cols=maybe_unbound | sub_unbound)
                 # vars introduced by the OPTIONAL side may be unbound
                 maybe_unbound.update(set(right.columns) - before)
                 # wildcard-joined vars were coalesced with the right side
@@ -891,7 +907,9 @@ class _Planner:
                 df = flush_values(df)
                 if df is None:
                     raise ValueError("SPARQL: MINUS with no preceding pattern")
-                df = A.minus(df, self.eval_group(el[1]), wildcard_cols=maybe_unbound)
+                sub_unbound = set()
+                right = self.eval_group(el[1], report_unbound=sub_unbound)
+                df = A.minus(df, right, wildcard_cols=maybe_unbound | sub_unbound)
             elif kind == "bind":
                 df = flush_values(df)  # BIND reads in-scope bindings, incl. a leading VALUES
                 if df is None:
@@ -919,10 +937,14 @@ class _Planner:
             raise ValueError("SPARQL: empty group pattern")
         for f in filters:  # FILTER scopes over the whole group
             if f[0] == "exists":
-                df = A.exists_filter(df, self.eval_group(f[1]), negate=f[2])
+                df = A.exists_filter(
+                    df, self.eval_group(f[1]), negate=f[2], wildcard_cols=maybe_unbound
+                )
             else:
                 col, k = self.eval_expr(f, df)
                 df = df.filter(E.filter_cond(self.to_bool(col, k)))
+        if report_unbound is not None:
+            report_unbound.update(maybe_unbound)
         return df
 
     def eval_union(self, node) -> DataFrame:

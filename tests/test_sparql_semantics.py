@@ -113,3 +113,131 @@ def test_dedup_hash_collision_defense(spark):
     )
     got = {(r.doc_id, r.canonical_id) for r in exact_dedup(docs).collect()}
     assert got == {(1, 1), (2, 1), (3, 3)}
+
+
+# ---------------- round-4 review regressions: unbound in value expressions
+
+
+def test_compare_unbound_is_type_error(spark):
+    """FILTER(?x = "a") with ?x unbound: type error -> row dropped; the
+    old otherwise(0) arm declared unbound EQUAL to everything."""
+    from halyard_spark import nt
+    from halyard_spark.query.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("v"), None),
+         ("<urn:a>", "<urn:q>", nt.lit("w"), None),
+         ("<urn:b>", "<urn:p>", nt.lit("v"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_query(g, """
+        SELECT ?s WHERE { ?s <urn:p> ?v OPTIONAL { ?s <urn:q> ?x }
+                          FILTER(?x = "w") }""")
+    assert [r["s"] for r in out.collect()] == ["<urn:a>"]
+    out2 = sparql_query(g, """
+        SELECT ?s WHERE { ?s <urn:p> ?v OPTIONAL { ?s <urn:q> ?x }
+                          FILTER(?x != "zzz") }""")
+    # b's ?x is unbound -> comparison errors -> filter false -> only a
+    assert [r["s"] for r in out2.collect()] == ["<urn:a>"]
+
+
+def test_ebv_of_iri_is_error(spark):
+    """FILTER(?s) where ?s is an IRI: EBV type error -> row dropped."""
+    from halyard_spark import nt
+    from halyard_spark.query.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", nt.lit("x"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    assert sparql_query(g, "SELECT ?s WHERE { ?s <urn:p> ?o FILTER(?s) }").count() == 0
+    # ill-formed numeric literal -> EBV false
+    g2 = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", '"abc"^^<http://www.w3.org/2001/XMLSchema#integer>', None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    assert sparql_query(g2, "SELECT ?s WHERE { ?s <urn:p> ?o FILTER(?o) }").count() == 0
+    # well-formed non-zero numeric -> true
+    g3 = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>', None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    assert sparql_query(g3, "SELECT ?s WHERE { ?s <urn:p> ?o FILTER(?o) }").count() == 1
+
+
+def test_exists_with_unbound_var_matches(spark):
+    """EXISTS over a pattern using an unbound var: the var stays free, so
+    the pattern is satisfiable -> row kept (NOT EXISTS: dropped)."""
+    from halyard_spark import nt
+    from halyard_spark.query.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", "<urn:o1>", None),
+         ("<urn:x1>", "<urn:r>", nt.lit("y"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    q = """SELECT ?s WHERE { ?s <urn:p> ?o OPTIONAL { ?s <urn:q> ?x }
+                             FILTER EXISTS { ?x <urn:r> ?y } }"""
+    assert [r["s"] for r in sparql_query(g, q).collect()] == ["<urn:a>"]
+    qn = """SELECT ?s WHERE { ?s <urn:p> ?o OPTIONAL { ?s <urn:q> ?x }
+                              FILTER NOT EXISTS { ?x <urn:r> ?y } }"""
+    assert sparql_query(g, qn).count() == 0
+
+
+def test_order_by_unbound_first(spark):
+    """SPARQL 15.1: unbound sorts before every RDF term."""
+    from halyard_spark import nt
+    from halyard_spark.query.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:p>", "<urn:iri>", None),
+         ("<urn:b>", "<urn:p>", nt.lit("lit"), None),
+         ("<urn:c>", "<urn:q>", nt.lit("x"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_query(g, """
+        SELECT ?s ?o WHERE { { ?s <urn:p> ?o } UNION { ?s <urn:q> ?z } }
+        ORDER BY ?o""")
+    objs = [r["o"] for r in out.collect()]
+    assert objs[0] is None  # unbound first
+    assert objs[1:] == ["<urn:iri>", '"lit"']
+
+
+def test_minus_right_side_unbound_compatible(spark):
+    """A NULL produced on the RIGHT side of MINUS (nested OPTIONAL) is
+    unbound: compatibility ignores it, the left row must be removed."""
+    from halyard_spark import nt
+    from halyard_spark.query.sparql import sparql_query
+
+    g = spark.createDataFrame(
+        [("<urn:a>", "<urn:name>", nt.lit("Ann"), None),
+         ("<urn:b>", "<urn:name>", nt.lit("Ben"), None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_query(g, """
+        SELECT ?s ?n WHERE {
+          ?s <urn:name> ?n
+          MINUS { <urn:a> <urn:name> ?n OPTIONAL { ?s <urn:zzz> ?n } }
+        }""")
+    # right solutions: (n="Ann", s unbound) -> removes a's row only
+    assert [r["s"] for r in out.collect()] == ["<urn:b>"]
+
+
+def test_repeated_var_statement_pattern(spark):
+    from halyard_spark.query.pattern import statement_pattern
+
+    g = spark.createDataFrame(
+        [("<a>", "<knows>", "<a>", None), ("<a>", "<knows>", "<b>", None)],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = statement_pattern(g, p="<knows>", vars={"subj": "x", "obj": "x"})
+    assert out.columns == ["x"]
+    assert [r["x"] for r in out.collect()] == ["<a>"]
+
+
+def test_nt_unescape_numeric_python():
+    from halyard_spark import nt
+
+    assert nt.unescape("caf\\u00e9") == "café"
+    assert nt.unescape("\\U0001F600") == "😀"
+    assert nt.unescape("bad\\uZZZZ") == "baduZZZZ"  # malformed: literal fallback

@@ -72,11 +72,19 @@ def write_mirrors(cached: DataFrame, out_dir: str, n: int, indexes: list[str] | 
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg runtime is on the session's classpath (the
     cluster deployment target; this sandbox has no Iceberg jar)."""
+    name = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        # Spark's own loader sees jars added via --packages/spark.jars
+        # (py4j's Class.forName consults only the system classloader and
+        # would report False on exactly the clusters this targets)
+        spark._jvm.org.apache.spark.util.Utils.classForName(name, True, False)
         return True
     except Exception:
-        return False
+        try:
+            spark._jvm.java.lang.Class.forName(name)
+            return True
+        except Exception:
+            return False
 
 
 def write_sorted_iceberg(df: DataFrame, table: str, keys: list[str], n: int) -> None:
@@ -96,16 +104,34 @@ def write_sorted_iceberg(df: DataFrame, table: str, keys: list[str], n: int) -> 
     )
 
 
-def write_manifest(out_dir: str, count: int, n: int) -> dict:
+def write_manifest(out_dir: str, count: int, n: int, spark: SparkSession | None = None) -> dict:
     manifest = {
         "snapshot_ts": int(time.time()),
         "triple_count": count,
         "indexes": list(INDEXES),
         "mirror_partitions": n,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
+    text = json.dumps(manifest, indent=2)
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        # the mirrors went through Hadoop-FS writers; the manifest must
+        # land on the SAME filesystem, not a literal 's3:/...' local dir
+        if spark is None:
+            raise ValueError(
+                "write_manifest: a SparkSession is required for non-local "
+                f"store paths ({out_dir!r})"
+            )
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(out_dir + "/manifest.json")
+        fs = path.getFileSystem(conf)
+        out = fs.create(path, True)
+        out.write(bytearray(text.encode()))
+        out.close()
+        return manifest
+    local = out_dir[len("file://"):] if out_dir.startswith("file://") else out_dir
+    os.makedirs(local, exist_ok=True)
+    with open(os.path.join(local, "manifest.json"), "w") as f:
+        f.write(text)
     return manifest
 
 
@@ -134,7 +160,7 @@ def write_store(triples: DataFrame, out_dir: str, mirror_partitions: int | None 
         write_mirrors(cached, out_dir, n)
     finally:
         cached.unpersist()
-    return write_manifest(out_dir, count, n)
+    return write_manifest(out_dir, count, n, spark=spark)
 
 
 def read_index(spark: SparkSession, store_dir: str, index: str = "spo") -> DataFrame:
@@ -143,8 +169,16 @@ def read_index(spark: SparkSession, store_dir: str, index: str = "spo") -> DataF
 
 def pick_index(s_bound: bool, p_bound: bool, o_bound: bool) -> str:
     """Index selection for a statement pattern — the 16-way dispatch of
-    HalyardTableUtils.java:300-373 reduced to 3 sort orders (ctx handled by
-    partition pruning on the canonical table)."""
+    HalyardTableUtils.java:300-373 reduced to 3 sort orders.
+
+    Trade-off note: the SPO mirror is CTX-LED (per-graph scans prune by
+    file min/max — the north rule's named-graph workloads), so a
+    subject-bound lookup with ctx UNBOUND prunes only within each
+    graph's row-group run, not globally.  The reference pays 6 sorted
+    permutations for both; we pay 3 and give named-graph pruning the
+    leading key.  All patterns still push their filters down
+    (PushedFilters plan gates); this choice affects file-skip
+    efficiency, not correctness."""
     if s_bound:
         return "spo"
     if p_bound:

@@ -156,7 +156,7 @@ def run_pipeline(
             report["materialize"] = {"rows": triple_count, "wall_ms": 0, "skipped": True}
             return
         materialize.write_mirrors(quads, store_dir, n_mirror, indexes=["pos", "osp"])
-        manifest = materialize.write_manifest(store_dir, triple_count, n_mirror)
+        manifest = materialize.write_manifest(store_dir, triple_count, n_mirror, spark=spark)
         w = int((time.time() - t1) * 1000)
         lineage.record_stage(spark, out_dir, "materialize", src_fp, triple_count, w, manifest)
         report["materialize"] = {"rows": triple_count, "wall_ms": w, "skipped": False}

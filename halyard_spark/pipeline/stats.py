@@ -115,15 +115,23 @@ def summary(triples: DataFrame, decimation: int = 1) -> DataFrame:
     larger values use the deterministic hash filter of predicate_summary.
     """
     t = triples.select("subj", "pred", "obj")
-    if decimation > 1:
-        t = t.where(F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(decimation)) == 0)
+    # decimate ONLY the data side: the domain/range joins pair a data
+    # triple with its node's rdf:type triple, and sampling BOTH sides
+    # would make join survival ~1/decimation^2 while est_count scales by
+    # decimation once — underestimating by another full factor.  The
+    # (much smaller) type set stays exact, so one scale factor is right
+    # for every sampled statistic and class counts are exact.
     types = t.where(F.col("pred") == RDF_TYPE).select(
         F.col("subj").alias("node"), F.col("obj").alias("cls")
     )
     data = t.where(F.col("pred") != RDF_TYPE)
+    if decimation > 1:
+        data = data.where(
+            F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(decimation)) == 0
+        )
 
-    def bucketed(grouped: DataFrame, kind: str, pred, domain, rng) -> DataFrame:
-        n = F.col("n") * decimation
+    def bucketed(grouped: DataFrame, kind: str, pred, domain, rng, scale: int = decimation) -> DataFrame:
+        n = F.col("n") * scale
         return grouped.select(
             F.lit(kind).alias("stat_kind"),
             pred.alias("pred"),
@@ -136,7 +144,7 @@ def summary(triples: DataFrame, decimation: int = 1) -> DataFrame:
     null_s = F.lit(None).cast("string")
     classes = bucketed(
         types.groupBy("cls").agg(F.count(F.lit(1)).alias("n")),
-        "class", null_s, F.col("cls"), null_s,
+        "class", null_s, F.col("cls"), null_s, scale=1,  # types are exact
     )
     preds = bucketed(
         data.groupBy("pred").agg(F.count(F.lit(1)).alias("n")),

@@ -33,11 +33,33 @@ def _ship_package(spark: SparkSession) -> None:
     mapInPandas closures reference this package by module name; workers
     must be able to import it no matter where the driver was launched.
     """
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "halyard_spark_pyfiles")
+    # CONTENT-ADDRESSED zip name: the cache key hashes every source
+    # file's (path, mtime, size), so editing the package invalidates the
+    # shipped copy (an existence-only check made workers run stale code
+    # after any edit) and concurrent drivers with identical sources
+    # share one artifact safely.
+    h = hashlib.sha1()
+    for root, _, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            h.update(f"{fp}:{st.st_mtime_ns}:{st.st_size}".encode())
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"halyard_spark_pyfiles_{h.hexdigest()[:16]}"
+    )
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
-        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "halyard_spark")
+        # build under a unique temp name, then atomic rename: a racing
+        # driver never observes (or ships) a truncated zip
+        tmp = shutil.make_archive(
+            f"{zip_base}.{os.getpid()}", "zip", os.path.dirname(pkg_dir), "halyard_spark"
+        )
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 

@@ -44,6 +44,7 @@ def http_transport(bulk_url: str) -> Callable[[str], None]:
     """Default transport: POST ND-JSON to an ES /_bulk endpoint."""
 
     def send(body: str) -> None:
+        import json as _json
         import urllib.request
 
         req = urllib.request.Request(
@@ -51,7 +52,22 @@ def http_transport(bulk_url: str) -> Callable[[str], None]:
             data=body.encode(),
             headers={"Content-Type": "application/x-ndjson"},
         )
-        urllib.request.urlopen(req, timeout=60).read()
+        resp = urllib.request.urlopen(req, timeout=60).read()
+        # ES answers HTTP 200 with "errors": true for PER-ITEM failures
+        # (mapping conflicts, queue rejections) — fail the task so Spark
+        # retries instead of silently dropping documents from the index
+        try:
+            payload = _json.loads(resp)
+        except ValueError:
+            return  # non-JSON body: transport succeeded, nothing to check
+        if payload.get("errors"):
+            failed = [
+                item
+                for item in payload.get("items", [])
+                for op in item.values()
+                if op.get("error")
+            ][:3]
+            raise RuntimeError(f"ES bulk indexing reported item errors: {failed!r}")
 
     return send
 

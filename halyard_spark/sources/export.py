@@ -29,7 +29,17 @@ def export_ntriples(triples: DataFrame, path: str, compression: str | None = Non
     so a line is a codegen'd concat — no UDF.
     """
     has_ctx = "ctx" in triples.columns
-    line = F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"))
+    # fail CLOSED on null required terms: concat_ws silently SKIPS nulls,
+    # which would export short/shifted garbage lines (e.g. a null pred
+    # turns '<s> <o> <ctx> .' into a syntactically valid wrong triple)
+    bad = F.col("subj").isNull() | F.col("pred").isNull() | F.col("obj").isNull()
+    guarded = F.when(
+        bad,
+        F.raise_error(F.lit("export_ntriples: null subj/pred/obj in input row")),
+    )
+    line = F.coalesce(
+        guarded, F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"))
+    )
     if has_ctx:
         line = F.when(
             F.col("ctx").isNotNull(), F.concat_ws(" ", line, F.col("ctx"))
@@ -62,6 +72,7 @@ def export_dbapi(
     table: str,
     batchsize: int = 1000,
     create: bool = True,
+    paramstyle: str = "qmark",
 ) -> None:
     """Batched relational insert through an injectable DB-API connection
     factory — the testable core of the JDBC sink (HalyardExport.java's
@@ -71,7 +82,12 @@ def export_dbapi(
     partition, executemany per ``batchsize`` rows.  export_jdbc remains
     the driver-jar passthrough for real JDBC endpoints."""
     cols = df.columns
-    placeholders = ", ".join(["?"] * len(cols))
+    # DB-API paramstyle is driver-specific: sqlite3 is 'qmark' (?),
+    # psycopg2/MySQLdb are 'pyformat'/'format' (%s)
+    marks = {"qmark": "?", "format": "%s", "pyformat": "%s", "numeric": None}
+    if paramstyle not in marks or marks[paramstyle] is None:
+        raise ValueError(f"export_dbapi: unsupported paramstyle {paramstyle!r}")
+    placeholders = ", ".join([marks[paramstyle]] * len(cols))
     insert_sql = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
     if create:
         ddl = f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(c + ' TEXT' for c in cols)})"

@@ -140,3 +140,28 @@ def test_path_alternative_of_links_is_single_scan(spark, store):
     plan = _plan(out)
     assert plan.count("Scan parquet") == 1
     assert "In(pred" in plan or "pred#" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_summary_decimation_single_factor(spark):
+    """Sampled domain/range stats scale by decimation ONCE: the type side
+    stays exact, so est_count is an unbiased estimator (decimating both
+    join sides underestimated by another full factor) and class counts
+    are exact (code-review regression)."""
+    from halyard_spark import nt
+    from halyard_spark.pipeline import stats as ST
+
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    rows = [(f"<urn:s{i}>", rdf_type, "<urn:C>", None) for i in range(200)]
+    rows += [(f"<urn:s{i}>", "<urn:p>", nt.lit(str(i)), None) for i in range(200)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+    exact = {
+        (r["stat_kind"], r["est_count"])
+        for r in ST.summary(t, decimation=1).collect()
+        if r["stat_kind"] in ("class", "domain")
+    }
+    assert ("class", 200) in exact and ("domain", 200) in exact
+    sampled = {r["stat_kind"]: r["est_count"] for r in ST.summary(t, decimation=4).collect()
+               if r["stat_kind"] in ("class", "domain")}
+    assert sampled["class"] == 200  # classes stay exact
+    # unbiased: ~200 within sampling noise, NOT ~50 (the 1/d^2 bug)
+    assert 100 <= sampled["domain"] <= 320, sampled

@@ -203,3 +203,54 @@ def test_timestamped_update_single_shuffle_plan(spark):
     plan = timestamped_update(base, ops)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan
     assert plan.count("Exchange") <= 1  # one shuffle: the groupBy
+
+
+def test_export_ntriples_null_term_fails_closed(spark, tmp_path):
+    """A null required term must fail the export, not silently emit a
+    short/shifted line (code-review regression)."""
+    import pytest
+
+    from halyard_spark.sources import export
+
+    bad = spark.createDataFrame(
+        [("<s>", None, '"o"', None)], "subj string, pred string, obj string, ctx string"
+    )
+    with pytest.raises(Exception, match="null subj/pred/obj"):
+        export.export_ntriples(bad, str(tmp_path / "out"))
+
+
+def test_export_dbapi_paramstyle_format(spark, tmp_path):
+    """paramstyle='format' emits %s placeholders (psycopg2/MySQLdb);
+    unsupported styles raise."""
+    import pytest
+
+    from halyard_spark.sources.export import export_dbapi
+
+    cap = str(tmp_path / "sql.txt")
+
+    def connect():
+        class Cur:
+            def execute(self, sql):
+                pass
+
+            def executemany(self, sql, rows):
+                with open(cap, "a") as f:
+                    f.write(sql + "\n")
+
+        class Conn:
+            def cursor(self):
+                return Cur()
+
+            def commit(self):
+                pass
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    export_dbapi(df, connect, "t", paramstyle="format")
+    assert "VALUES (%s, %s)" in open(cap).read()
+    with pytest.raises(ValueError, match="paramstyle"):
+        export_dbapi(df, connect, "t", paramstyle="numeric")

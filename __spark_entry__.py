@@ -119,13 +119,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: emit KG triples from sf0.001, then answer a BGP join over
     the triple view — customers per region via statement patterns."""
     sf_dir = "/root/testdata/sf0.001"
-    triples = _tpch_triples(spark, sf_dir)
-    in_nation = statement_pattern(triples.withColumn("ctx", F.lit(None).cast("string")),
-                                  p="<urn:p:inNation>", vars={"subj": "cust", "obj": "nation"})
-    in_region = statement_pattern(triples.withColumn("ctx", F.lit(None).cast("string")),
-                                  p="<urn:p:inRegion>", vars={"subj": "nation", "obj": "region"})
-    rname = statement_pattern(triples.withColumn("ctx", F.lit(None).cast("string")),
-                              p="<urn:p:name>", vars={"subj": "region", "obj": "region_name"})
+    triples = _tpch_triples_ctx(spark, sf_dir)  # one ctx construction, shared with the catalog
+    in_nation = statement_pattern(triples, p="<urn:p:inNation>", vars={"subj": "cust", "obj": "nation"})
+    in_region = statement_pattern(triples, p="<urn:p:inRegion>", vars={"subj": "nation", "obj": "region"})
+    rname = statement_pattern(triples, p="<urn:p:name>", vars={"subj": "region", "obj": "region_name"})
     joined = A.bgp_join(A.bgp_join(in_nation, in_region), rname)
     return (
         joined.groupBy("region_name")
@@ -439,16 +436,25 @@ def q_turtle_load(spark, sf_dir):
     doc = ["@prefix r: <urn:region:> .", "@prefix p: <urn:p:> ."]
     for key, name in rows:
         doc.append(f'r:{key} a p:Region ; p:name "{name}" ; p:key {key} .')
-    path = os.path.join(tempfile.gettempdir(), "halyard_turtle_load.ttl")
-    with open(path, "w") as f:
+    # per-process temp file: a fixed shared name would race with a
+    # concurrent catalog run (parity pytest vs bench) mid-overwrite
+    fd, path = tempfile.mkstemp(
+        prefix=f"halyard_turtle_load_{os.getpid()}_", suffix=".ttl"
+    )
+    with os.fdopen(fd, "w") as f:
         f.write("\n".join(doc))
-    return read_turtle(spark, path).select("subj", "pred", "obj")
+    try:
+        out = read_turtle(spark, path).select("subj", "pred", "obj")
+        out = spark.createDataFrame(out.collect(), out.schema)  # pin before unlink
+    finally:
+        os.unlink(path)
+    return out
 
 
 def q_kg_bgp(spark, sf_dir):
     """Statement-pattern scans + BGP join over the emitted triples
     (SURVEY §2.1 scan + §2.3 join)."""
-    triples = _tpch_triples(spark, sf_dir).withColumn("ctx", F.lit(None).cast("string"))
+    triples = _tpch_triples_ctx(spark, sf_dir)
     in_nation = statement_pattern(triples, p="<urn:p:inNation>", vars={"subj": "cust", "obj": "nation"})
     in_region = statement_pattern(triples, p="<urn:p:inRegion>", vars={"subj": "nation", "obj": "region"})
     rname = statement_pattern(triples, p="<urn:p:name>", vars={"subj": "region", "obj": "region_name"})
@@ -1496,7 +1502,13 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT r.src, e.dst FROM r JOIN e ON e.src = r.dst
     """,
     "cc_components": """
-        SELECT p_partkey AS node, (p_partkey // 50) * 50 AS component FROM part
+        WITH e AS (SELECT a.p_partkey AS s, b.p_partkey AS d
+                   FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
+                   WHERE a.p_partkey % 50 <> 49),
+        n AS (SELECT s AS node FROM e UNION SELECT d FROM e)
+        SELECT CAST(node AS INTEGER) AS node,
+               CAST(MIN(node) OVER (PARTITION BY node // 50) AS INTEGER) AS component
+        FROM n
     """,
     "expr_string_math": """
         SELECT p_partkey, LENGTH(p_name) AS strlen, UPPER(p_name) AS ucase,

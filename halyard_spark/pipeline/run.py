@@ -51,9 +51,12 @@ def run_pipeline(
     t_start = time.time()
     src_fp = lineage.fingerprint(src, ["repo", "path", "commit"])
 
+    stage_fp = {"fp": src_fp}  # extract keys on the source; later stages on the chain
+
     def run_stage(name: str, out_path: str, builder) -> DataFrame:
         t0 = time.time()
-        if resume and lineage.stage_done(spark, out_dir, name, src_fp, out_path):
+        fp = stage_fp["fp"]
+        if resume and lineage.stage_done(spark, out_dir, name, fp, out_path):
             df = spark.read.parquet(out_path)
             report[name] = {"rows": df.count(), "wall_ms": int((time.time() - t0) * 1000), "skipped": True}
             return df
@@ -62,11 +65,22 @@ def run_pipeline(
         out = spark.read.parquet(out_path)
         rows = out.count()
         wall = int((time.time() - t0) * 1000)
-        lineage.record_stage(spark, out_dir, name, src_fp, rows, wall)
+        lineage.record_stage(spark, out_dir, name, fp, rows, wall)
         report[name] = {"rows": rows, "wall_ms": wall, "skipped": False}
         return out
 
     mentions = run_stage("extract", f"{out_dir}/mentions", lambda: extract.extract_mentions(src))
+
+    # CHAINED stage fingerprint: downstream stages key their lineage rows
+    # on the content of their actual input (the persisted mentions), not
+    # only on the pipeline source — so force-re-running extract (deleting
+    # its output, or a code change yielding different mentions) also
+    # invalidates every dependent stage instead of resume silently mixing
+    # new mentions with stale downstream outputs.  One narrow agg job.
+    mentions_fp = src_fp + "|" + lineage.fingerprint(
+        mentions, ["repo", "path", "kind", "name", "content_sha256"]
+    )
+    stage_fp["fp"] = mentions_fp
 
     # Two independent branches after extract, as CONCURRENT driver threads:
     #   (a) dictionary -> link   (b) canonicalize (entity edges -> CC).
@@ -139,7 +153,7 @@ def run_pipeline(
     n_mirror = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     t0 = time.time()
-    resumed_tail = resume and lineage.stage_done(spark, out_dir, "triples", src_fp, spo_path)
+    resumed_tail = resume and lineage.stage_done(spark, out_dir, "triples", stage_fp["fp"], spo_path)
     if not resumed_tail:
         emitted = triples.emit_triples(src_meta, mentions, linked, canonical, spark)
         materialize.write_sorted(emitted, spo_path, materialize.INDEXES["spo"], n_mirror)
@@ -147,18 +161,18 @@ def run_pipeline(
     triple_count = quads.count()  # footer-only (parquet aggregate pushdown)
     wall = int((time.time() - t0) * 1000)
     if not resumed_tail:
-        lineage.record_stage(spark, out_dir, "triples", src_fp, triple_count, wall)
+        lineage.record_stage(spark, out_dir, "triples", stage_fp["fp"], triple_count, wall)
     report["triples"] = {"rows": triple_count, "wall_ms": wall, "skipped": resumed_tail}
 
     def do_materialize() -> None:
         t1 = time.time()
-        if resume and lineage.stage_done(spark, out_dir, "materialize", src_fp, f"{store_dir}/pos"):
+        if resume and lineage.stage_done(spark, out_dir, "materialize", stage_fp["fp"], f"{store_dir}/pos"):
             report["materialize"] = {"rows": triple_count, "wall_ms": 0, "skipped": True}
             return
         materialize.write_mirrors(quads, store_dir, n_mirror, indexes=["pos", "osp"])
         manifest = materialize.write_manifest(store_dir, triple_count, n_mirror, spark=spark)
         w = int((time.time() - t1) * 1000)
-        lineage.record_stage(spark, out_dir, "materialize", src_fp, triple_count, w, manifest)
+        lineage.record_stage(spark, out_dir, "materialize", stage_fp["fp"], triple_count, w, manifest)
         report["materialize"] = {"rows": triple_count, "wall_ms": w, "skipped": False}
 
     with ThreadPoolExecutor(max_workers=3) as pool:

@@ -149,7 +149,11 @@ def reachable_from(
             break
         frontier = fresh.where(F.col("__h") == this_round).drop("__h")
         new_pairs = fresh.drop("__h")
-        result = new_pairs if result is None else result.union(new_pairs).localCheckpoint(eager=True)
+        # accumulate WITHOUT re-checkpointing: every union arm is already
+        # a materialized checkpoint (`fresh`), so lineage depth stays
+        # O(rounds) while an eager checkpoint here would rewrite the
+        # ENTIRE accumulated result each round (quadratic total work)
+        result = new_pairs if result is None else result.union(new_pairs)
     out_schema = seeds.select(F.col("root").alias("src"), F.col("node").alias("dst")).limit(0)
     pairs = (
         out_schema

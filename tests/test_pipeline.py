@@ -220,3 +220,29 @@ def test_extract_two_commits_same_path(spark):
     assert len(cls) == 2
     by_name = {r["name"]: r["commit"] for r in cls}
     assert by_name == {"A": "c1", "B": "c2"}
+
+
+def test_resume_invalidates_downstream_on_extract_change(spark, tmp_path):
+    """Chained stage fingerprints: force-re-running extract with DIFFERENT
+    output must invalidate dependent stages instead of resume mixing new
+    mentions with stale link/canonical outputs (code-review regression)."""
+    import shutil
+
+    src_a = corpus.generate_src(spark, 60)
+    out = str(tmp_path / "kg")
+    run.run_pipeline(spark, src_a, out)
+
+    # simulate "extract produced different mentions for the same source
+    # fingerprint": delete the mentions output AND swap in altered source
+    # content with identical (repo, path, commit) keys (the src_fp cols)
+    shutil.rmtree(f"{out}/mentions")
+    src_b = src_a.withColumn(
+        "content", F.concat(F.col("content"), F.lit("\nclass Zz:\n    pass\n"))
+    )
+    rep = run.run_pipeline(spark, src_b, out)
+    # downstream stages must have RE-RUN (not skipped)
+    for stage in ("dictionary", "link", "canonicalize", "triples"):
+        assert not rep[stage]["skipped"], stage
+    # and the new class reached the store
+    store = spark.read.parquet(f"{out}/store/spo")
+    assert store.where(F.col("obj") == "<urn:entity:class:Zz>").count() > 0

@@ -1055,18 +1055,39 @@ def q_stream_window_agg(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> Arrow-batched feature UDF
-    (deterministic fake decode; real codecs are stubbed). Rows-only."""
+    """Multimodal plumbing: binary payload -> Arrow-batched feature UDF.
+
+    The fake decode is pure sha256 arithmetic (digest of the payload,
+    first ``feat_dim`` little-endian u32 words / 2^32 as float32), so it
+    IS oracle-checkable: ``feature_sig`` recovers each word's
+    float32-rounded integer value (v * 2^32 is exact — the division by a
+    power of two only shifted the exponent) and joins them into an
+    engine-portable string that DuckDB reproduces from sha256() alone.
+    Real codecs remain stubbed behind fake=False (ops/multimodal.py)."""
     from halyard_spark.ops import multimodal as MM
 
     assets = MM.synth_assets(spark, 64)
-    return MM.decode_features(assets).select("asset_id", "kind", "n_bytes")
+    feats = MM.decode_features(assets, feat_dim=8)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: (x.cast("double") * F.lit(4294967296.0)).cast("long"),
+            ),
+        ).alias("feature_sig"),
+    )
 
 
 # Ordered so entries with NO prior driver-side CORRECTNESS row come
 # first (the driver samples a prefix of this dict); entries green in
 # multiple past rounds rotate to the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-5: first-ever hash-checked oracle for the multimodal stub
+    "multimodal_features": q_multimodal_features,
     # --- never driver-checked through r3: SPARQL text front-end + path algebra
     "sparql_graph": q_sparql_graph,
     "sparql_graph_const": q_sparql_graph_const,
@@ -1095,7 +1116,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_void_stats": q_kg_void_stats,
     "summary_log2": q_summary_log2,
     "window_topk_group": q_window_topk_group,
-    "multimodal_features": q_multimodal_features,
     "path_zero_or_one": q_path_zero_or_one,
     "rollup_agg": q_rollup_agg,
     "pivot_status": q_pivot_status,
@@ -1166,6 +1186,42 @@ _JACCARD_PAIRS_SQL = f"""
         SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+    """
+
+
+def _multimodal_oracle_sql(n: int = 64, feat_dim: int = 8) -> str:
+    """DuckDB replica of ops/multimodal.decode_features over synth_assets.
+
+    synth_assets payload = UTF-8 bytes of sha2(id-as-string); the fake
+    decode sha256's that payload and reads ``feat_dim`` little-endian
+    u32 words.  DuckDB's sha256() hashes a VARCHAR's UTF-8 bytes, so
+    double-hashing the id string replays both steps; each hex pair is
+    decoded with strpos nibble lookups and the word is routed through
+    CAST(… AS REAL) to apply the identical IEEE u32→float32 rounding
+    the Spark side bakes into its feature values."""
+    nib = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    words = []
+    for i in range(feat_dim):
+        terms = []
+        for b, mult in enumerate((1, 256, 65536, 16777216)):
+            hi = nib.format(p=i * 8 + 2 * b + 1)
+            lo = nib.format(p=i * 8 + 2 * b + 2)
+            terms.append(f"(({hi}) * 16 + ({lo})) * {mult}")
+        words.append(
+            "CAST(CAST(CAST(" + " + ".join(terms) + " AS REAL) AS DOUBLE) AS BIGINT)"
+        )
+    return f"""
+        WITH ids AS (SELECT CAST(range AS BIGINT) AS asset_id FROM range({n})),
+        base AS (
+          SELECT asset_id,
+                 CASE WHEN asset_id % 3 = 0 THEN 'image'
+                      WHEN asset_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 sha256(sha256(CAST(asset_id AS VARCHAR))) AS h
+          FROM ids)
+        SELECT asset_id, kind, CAST(64 AS BIGINT) AS n_bytes,
+               array_to_string([{", ".join(words)}], ',') AS feature_sig
+        FROM base
     """
 
 
@@ -1345,6 +1401,7 @@ ORACLES: dict[str, str] = {
         GROUP BY x.doc_id, y.doc_id
     """,
     "dedup_simhash": _simhash_oracle_sql(max_hamming=3, max_df=300),
+    "multimodal_features": _multimodal_oracle_sql(n=64, feat_dim=8),
     "simsearch_lsh": _ann_contract_oracle("lsh_recall_ge_0.5"),
     "simsearch_ivf": _ann_contract_oracle("ivf_recall_ge_0.5"),
     "simsearch_topk": """

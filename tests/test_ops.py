@@ -13,7 +13,7 @@ from halyard_spark.ops import simsearch as S
 
 
 def test_rows_only_queries_run(spark, sf01_dir):
-    for name in ("dedup_simhash", "simsearch_lsh", "multimodal_features"):
+    for name in ("dedup_simhash", "simsearch_lsh"):
         df = entrymod.queries()[name](spark, sf01_dir)
         assert df.count() >= 0  # runs without error; schema stable
         assert len(df.columns) >= 2

@@ -38,9 +38,16 @@ def bulk_load_rdf(
     default_graph: N-Triples IRI used for statements WITHOUT a context
     (the reference's default-named-graph option); override_graph forces
     EVERY statement into one graph (the override option,
-    HalyardBulkLoad.java:521-536).  Returns the snapshot manifest.
+    HalyardBulkLoad.java:521-536).  Returns the snapshot manifest, whose
+    ``parse_metrics`` entry carries the dirty-parse skip counts
+    (files_failed / statements_skipped / files_skipped_unknown_ext) —
+    the ParserPump per-file failure-reporting analog, so a load that
+    silently drops input is visible in the manifest it leaves behind.
     """
-    quads = read_rdf(spark, path)
+    from halyard_spark.sources.metrics import ParseMetrics
+
+    metrics = ParseMetrics(spark)
+    quads = read_rdf(spark, path, metrics=metrics)
     if override_graph is not None:
         quads = quads.withColumn("ctx", F.lit(override_graph))
     elif default_graph is not None:
@@ -58,7 +65,10 @@ def bulk_load_rdf(
         # pin BEFORE overwrite: the union lazily reads the very parquet
         # the store write replaces (read-overwrite-same-path hazard)
         quads = quads.localCheckpoint(eager=True)
-    return materialize.write_store(quads, store_dir, mirror_partitions)
+    manifest = materialize.write_store(quads, store_dir, mirror_partitions)
+    # snapshot AFTER the write action: accumulators/observations have run
+    manifest["parse_metrics"] = metrics.snapshot()
+    return manifest
 
 
 def load_dataset(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -226,13 +226,15 @@ def parse_rdfxml(
 
 
 def rdfxml_files_to_triples(
-    files: DataFrame, path_col: str = "path", text_col: str = "text"
+    files: DataFrame, path_col: str = "path", text_col: str = "text", metrics=None
 ) -> DataFrame:
     """DataFrame of (path, text) whole files -> quad DataFrame (one
-    Python parse per file, Arrow-batched; unparseable files skipped)."""
+    Python parse per file, Arrow-batched; unparseable files skipped —
+    counted when a ParseMetrics is given, sources/metrics.py)."""
     import pandas as pd
 
     cols = ["subj", "pred", "obj", "ctx"]
+    acc_file = metrics.files_failed if metrics is not None else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,14 +244,16 @@ def rdfxml_files_to_triples(
                 try:
                     rows.extend(parse_rdfxml(text or "", bnode_scope=scope))
                 except Exception:
+                    if acc_file is not None:
+                        acc_file.add(1)
                     continue  # skip-invalid
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select(path_col, text_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
-def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+def read_rdfxml(spark: SparkSession, path: str, metrics=None) -> DataFrame:
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value").alias("text")
     )
-    return rdfxml_files_to_triples(files)
+    return rdfxml_files_to_triples(files, metrics=metrics)

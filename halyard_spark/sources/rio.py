@@ -234,17 +234,19 @@ def _jsonld_emit_document(doc, out: list) -> None:
     _jsonld_emit(doc, out)
 
 
-def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: str = "text") -> DataFrame:
+def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: str = "text", metrics=None) -> DataFrame:
     """Whole-document JSON-LD reader (.jsonld): one file = ONE JSON-LD
     document (pretty-printed / multi-line), vs the newline-delimited
     ND-JSON-LD form.  Supports top-level node objects, arrays, and
-    @graph containers; unparseable files yield no rows (skip-invalid)."""
+    @graph containers; unparseable files yield no rows (skip-invalid,
+    counted when a ParseMetrics is given)."""
     import json
     from collections.abc import Iterator
 
     import pandas as pd
 
     cols = ["subj", "pred", "obj", "ctx"]
+    acc_file = metrics.files_failed if metrics is not None else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -253,6 +255,8 @@ def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: 
                 try:
                     doc = json.loads(text or "")
                 except ValueError:
+                    if acc_file is not None:
+                        acc_file.add(1)
                     continue
                 _jsonld_emit_document(doc, rows)
             yield pd.DataFrame(rows, columns=cols)
@@ -260,14 +264,14 @@ def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: 
     return files.select(path_col, text_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
-def read_jsonld(spark, path) -> DataFrame:
+def read_jsonld(spark, path, metrics=None) -> DataFrame:
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value").alias("text")
     )
-    return jsonld_files_to_triples(files)
+    return jsonld_files_to_triples(files, metrics=metrics)
 
 
-def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
+def ndjsonld_to_triples(df: DataFrame, line_col: str = "value", metrics=None) -> DataFrame:
     """ND-JSON-LD reader: newline-delimited JSON-LD, each line its own
     document (rio/.../NDJSONLDParser.java:38-75 wraps each line as an
     independent JSON-LD document).
@@ -287,6 +291,7 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
     import pandas as pd
 
     emit = _jsonld_emit
+    acc_stmt = metrics.statements_skipped if metrics is not None else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["subj", "pred", "obj", "ctx"]
@@ -299,6 +304,8 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value") -> DataFrame:
                 try:
                     doc = json.loads(line)
                 except ValueError:
+                    if acc_stmt is not None:
+                        acc_stmt.add(1)
                     continue  # dirty-parse tolerance (HalyardBulkLoad skipinvalid)
                 if isinstance(doc, dict):
                     emit(doc, rows)
@@ -322,47 +329,73 @@ _NT_LINE = (
 )
 
 
-def ntriples_to_triples(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def ntriples_to_triples(lines: DataFrame, line_col: str = "value", metrics=None) -> DataFrame:
     """Parse a DataFrame of N-Triples / N-Quads lines into (subj, pred,
     obj, ctx) rows.  Dirty-parse tolerant like the reference's
     skip-invalid mode: comment lines, blank lines, and malformed lines
     yield no row instead of failing the job.  Terms are kept in their
     lexical N-Triples form (the store's native representation), so no
     re-serialization cost.
+
+    With a ParseMetrics, malformed (non-blank, non-comment, no-match)
+    lines are counted via a JVM-side observed metric on the SAME scan —
+    no extra pass and no Python in the plan (sources/metrics.py).
     """
     c = F.col(line_col)
     parsed = lines.select(
+        c.alias("__line"),
         F.regexp_extract(c, _NT_LINE, 1).alias("subj"),
         F.regexp_extract(c, _NT_LINE, 2).alias("pred"),
         F.regexp_extract(c, _NT_LINE, 3).alias("obj"),
         F.nullif(F.regexp_extract(c, _NT_LINE, 4), F.lit("")).alias("ctx"),
     )
-    return parsed.where(F.col("subj") != "")
+    if metrics is not None:
+        bad = (
+            (F.col("subj") == "")
+            & (F.trim(F.col("__line")) != "")
+            & (~F.trim(F.col("__line")).startswith("#"))
+        )
+        parsed = metrics.observe_lines_skipped(parsed, bad)
+    return parsed.select("subj", "pred", "obj", "ctx").where(F.col("subj") != "")
 
 
-def read_ntriples(spark, path: str) -> DataFrame:
+def read_ntriples(spark, path: str, metrics=None) -> DataFrame:
     """Read .nt / .nq files (plain or compressed — Spark's text source
     handles codecs) into a quad DataFrame."""
-    return ntriples_to_triples(spark.read.text(path))
+    return ntriples_to_triples(spark.read.text(path), metrics=metrics)
 
 
-def _rdf_format_of(path: str) -> str:
+_RDF_EXT_MAP = {
+    "nt": "ntriples", "nq": "ntriples",
+    "ttl": "turtle", "trig": "turtle",
+    # N3 rides the Turtle parser (Turtle-superset subset: formulae
+    # excluded — see sources/turtle.py docstring)
+    "n3": "turtle",
+    "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
+    "trix": "trix",
+    "ndjsonld": "ndjsonld",
+    # .jsonld = ONE pretty-printed document per file, not line-delimited
+    "jsonld": "jsonld",
+}
+
+
+def _rdf_format_of(path: str, default: str | None = "ntriples") -> str | None:
+    """Map a path's (codec-stripped) extension to a parser.  `default`
+    applies to UNREGISTERED extensions: explicit single-file paths keep
+    the historical ntriples fallback, but directory/glob expansion
+    passes default=None so stray non-RDF files (README.md, .json) are
+    skipped instead of silently shredded line-by-line — mirroring the
+    reference's registered-extension routing
+    (tools/.../HalyardBulkLoad.java:251-259)."""
     base = path.lower()
     for codec in (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy"):
         if base.endswith(codec):
             base = base[: -len(codec)]
     ext = base.rsplit(".", 1)[-1] if "." in base else ""
-    return {
-        "nt": "ntriples", "nq": "ntriples",
-        "ttl": "turtle", "trig": "turtle",
-        "rdf": "rdfxml", "owl": "rdfxml", "xml": "rdfxml",
-        "ndjsonld": "ndjsonld",
-        # .jsonld = ONE pretty-printed document per file, not line-delimited
-        "jsonld": "jsonld",
-    }.get(ext, "ntriples")
+    return _RDF_EXT_MAP.get(ext, default)
 
 
-def read_rdf(spark, path, fmt: str | None = None) -> DataFrame:
+def read_rdf(spark, path, fmt: str | None = None, metrics=None) -> DataFrame:
     """Extension-dispatched RDF reader — the bulk-load input-format map
     (tools/.../HalyardBulkLoad.java:251-259 maps every RIO-registered
     extension to its parser).  `fmt` overrides sniffing; compressed
@@ -375,36 +408,51 @@ def read_rdf(spark, path, fmt: str | None = None) -> DataFrame:
     same.  Paths with a filesystem scheme (hdfs://, s3a://, ...) are NOT
     expanded on the driver — they pass straight to Spark, whose source
     expands globs on the target filesystem (one format per such path,
-    sniffed from the pattern's extension)."""
+    sniffed from the pattern's extension).
+
+    Files found by DIRECTORY/GLOB expansion whose extension is not a
+    registered RIO format are skipped with a warning (and recorded on
+    `metrics` when given) — only an EXPLICIT single-file path falls back
+    to the N-Triples parser, so a stray README.md in a load directory
+    can't be silently shredded line-by-line."""
     if fmt is None:
         import glob as _glob
         import os as _os
         import re as _re
+        import warnings
 
         def _has_scheme(p: str) -> bool:
             return bool(_re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", p))
 
         paths = path if isinstance(path, list) else [path]
-        expanded: list[str] = []
+        expanded: list[tuple[str, bool]] = []  # (path, from_expansion)
         for p in paths:
             if _has_scheme(p) and not p.startswith("file://"):
-                expanded.append(p)  # remote FS: Spark expands the glob
+                expanded.append((p, False))  # remote FS: Spark expands the glob
             elif _os.path.isdir(p):
                 expanded.extend(
-                    _os.path.join(p, f) for f in sorted(_os.listdir(p))
+                    (_os.path.join(p, f), True) for f in sorted(_os.listdir(p))
                     if _os.path.isfile(_os.path.join(p, f))
                 )
             elif any(c in p for c in "*?[") and not _os.path.exists(p):
-                expanded.extend(sorted(f for f in _glob.glob(p) if _os.path.isfile(f)))
+                expanded.extend(
+                    (f, True) for f in sorted(_glob.glob(p)) if _os.path.isfile(f)
+                )
             else:
-                expanded.append(p)
+                expanded.append((p, False))
         groups: dict[str, list[str]] = {}
-        for p in expanded:
-            groups.setdefault(_rdf_format_of(p), []).append(p)
+        for p, from_expansion in expanded:
+            f = _rdf_format_of(p, default=None if from_expansion else "ntriples")
+            if f is None:
+                warnings.warn(f"read_rdf: skipping non-RDF extension {p!r}", stacklevel=2)
+                if metrics is not None:
+                    metrics.files_skipped_unknown_ext.append(p)
+                continue
+            groups.setdefault(f, []).append(p)
         if len(groups) != 1:
             if not groups:
                 raise FileNotFoundError(f"read_rdf: no input files match {path!r}")
-            parts = [read_rdf(spark, ps, fmt=f) for f, ps in sorted(groups.items())]
+            parts = [read_rdf(spark, ps, fmt=f, metrics=metrics) for f, ps in sorted(groups.items())]
             out = parts[0]
             for other in parts[1:]:
                 out = out.unionByName(other)
@@ -413,13 +461,17 @@ def read_rdf(spark, path, fmt: str | None = None) -> DataFrame:
     if fmt == "turtle":
         from halyard_spark.sources.turtle import read_turtle
 
-        return read_turtle(spark, path)
+        return read_turtle(spark, path, metrics=metrics)
     if fmt == "rdfxml":
         from halyard_spark.sources.rdfxml import read_rdfxml
 
-        return read_rdfxml(spark, path)
+        return read_rdfxml(spark, path, metrics=metrics)
+    if fmt == "trix":
+        from halyard_spark.sources.trix import read_trix
+
+        return read_trix(spark, path, metrics=metrics)
     if fmt == "jsonld":
-        return read_jsonld(spark, path)
+        return read_jsonld(spark, path, metrics=metrics)
     if fmt == "ndjsonld":
-        return ndjsonld_to_triples(spark.read.text(path))
-    return read_ntriples(spark, path)
+        return ndjsonld_to_triples(spark.read.text(path), metrics=metrics)
+    return read_ntriples(spark, path, metrics=metrics)

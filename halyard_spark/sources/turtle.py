@@ -28,7 +28,18 @@ and common corpora exercise):
 Dirty-parse tolerance mirrors HalyardBulkLoad's skip-invalid mode: a
 malformed statement is skipped by resyncing to the next ``.`` / ``}`` at
 top level instead of failing the file (and a file that fails wholesale
-yields no rows instead of failing the job).
+yields no rows instead of failing the job).  A failed statement emits
+NOTHING — partially-built triples are rolled back before the resync, so
+a truncated statement can never fabricate a triple from the next
+statement's tokens.  Skips are counted on the parser (``.skipped``) and
+surfaced through sources/metrics.ParseMetrics.
+
+N3 (.n3) rides this parser as its Turtle-compatible subset: the RDF
+statements N3 shares with Turtle parse identically, while N3-only
+constructs (formulae ``{ } => { }``, ``@forAll``/``@forSome``, ``=``,
+path expressions) are OUT OF SCOPE by design and fall into the dirty
+resync (counted, not silently absorbed) — most published .n3 corpora
+are plain Turtle in practice.
 
 Terms are emitted in the store's native N-Triples lexical form
 (halyard_spark.nt).  Blank node labels are scoped per input file (label
@@ -158,6 +169,7 @@ class _TurtleParser:
         self.out: list[tuple[str, str, str, str | None]] = []
         self.ctx: str | None = None
         self._dirty_ok = False
+        self.skipped = 0  # statements dropped by dirty-parse resync
 
     # -- token helpers
     def peek(self) -> tuple[str, str] | None:
@@ -202,11 +214,17 @@ class _TurtleParser:
         self._dirty_ok = dirty_ok
         while self.peek() is not None:
             start = self.i
+            mark = len(self.out)
             try:
                 self.parse_statement()
             except ValueError:
                 if not dirty_ok:
                     raise
+                # roll back partially-emitted triples: a failed statement
+                # must emit NOTHING (RDF4J skip-invalid drops the whole
+                # statement, never a fabricated prefix of it)
+                del self.out[mark:]
+                self.skipped += 1
                 self.resync(start)
         return self.out
 
@@ -215,6 +233,12 @@ class _TurtleParser:
         '.' (HalyardBulkLoad skip-invalid semantics).  Brace-aware: a
         failure before/at a graph block skips the WHOLE block rather than
         resuming inside it with the wrong (default) context."""
+        if start < len(self.toks) and self.toks[start] == ("punct", "."):
+            # a stray terminator is the whole failed "statement": consume
+            # just it, so the NEXT (valid) statement is not eaten while
+            # hunting for another '.'
+            self.i = start + 1
+            return
         self.i = max(self.i, start + 1)
         depth = 0
         braces = 0
@@ -241,6 +265,9 @@ class _TurtleParser:
         """Statement-level recovery INSIDE a graph block: skip to the next
         '.' at depth 0 but never consume the block's closing '}', so the
         remaining statements keep their graph context."""
+        if start < len(self.toks) and self.toks[start] == ("punct", "."):
+            self.i = start + 1
+            return
         self.i = max(self.i, start + 1)
         depth = 0
         while self.i < len(self.toks):
@@ -267,6 +294,7 @@ class _TurtleParser:
             self.parse_graph_block(self.parse_graph_label())
         elif k == "punct" and lex == "{":
             self.parse_graph_block(None)
+            self._reject_formula_tail()
         else:
             # TriG allows `<g> { ... }`: a lone IRI/pname followed by '{'
             save = self.i
@@ -279,6 +307,14 @@ class _TurtleParser:
                 self.i = save
             self.parse_triples()
             self.expect_punct(".")
+
+    def _reject_formula_tail(self) -> None:
+        """A bare `{ ... }` followed by `=` / `=>` is an N3 formula, not a
+        TriG default-graph block — fail the statement so the rollback
+        discards the block's triples (N3 logic is out of scope)."""
+        nxt = self.peek()
+        if nxt is not None and nxt[1] == "=":
+            raise ValueError("N3 formula (implication) is out of scope")
 
     def parse_directive(self) -> None:
         _, lex = self.next()
@@ -328,16 +364,26 @@ class _TurtleParser:
         try:
             while self.peek() is not None and self.peek() != ("punct", "}"):
                 start = self.i
+                mark = len(self.out)
                 try:
                     self.parse_triples()
+                    nxt = self.peek()
+                    if nxt == ("punct", "."):
+                        self.next()
+                    elif nxt is not None and nxt != ("punct", "}"):
+                        # missing terminator: the statement that just
+                        # "parsed" stole the next statement's tokens —
+                        # fail it so the rollback discards its output
+                        raise ValueError(f"expected '.' after statement, got {nxt!r}")
                 except ValueError:
                     if not getattr(self, "_dirty_ok", False):
                         raise
-                    # recover WITHIN the block: later statements keep ctx
+                    # recover WITHIN the block: later statements keep ctx;
+                    # roll back any partially-emitted triples first
+                    del self.out[mark:]
+                    self.skipped += 1
                     self._resync_in_block(start)
                     continue
-                if self.peek() == ("punct", "."):
-                    self.next()
             self.expect_punct("}")
         finally:
             self.ctx = prev
@@ -485,17 +531,23 @@ def parse_turtle(
 
 
 def turtle_files_to_triples(
-    files: DataFrame, path_col: str = "path", text_col: str = "text"
+    files: DataFrame, path_col: str = "path", text_col: str = "text", metrics=None
 ) -> DataFrame:
     """DataFrame of (path, text) whole files -> quad DataFrame.
 
     One Python parse per FILE inside mapInPandas (Arrow-batched); blank
     node labels are scoped by a hash of the path so `_:x` in two files
     never collides.  A file that fails to parse wholesale yields no rows
-    (dirty tolerance at both statement and file granularity)."""
+    (dirty tolerance at both statement and file granularity).  When a
+    ParseMetrics is given, statement resyncs and whole-file failures are
+    counted instead of vanishing (sources/metrics.py)."""
     import pandas as pd
 
     cols = ["subj", "pred", "obj", "ctx"]
+    # capture only the accumulators (the ParseMetrics object also holds
+    # JVM observation handles, which must not enter the pickled closure)
+    acc_stmt = metrics.statements_skipped if metrics is not None else None
+    acc_file = metrics.files_failed if metrics is not None else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -503,19 +555,24 @@ def turtle_files_to_triples(
             for path, text in zip(pdf[path_col], pdf[text_col]):
                 scope = hashlib.md5(str(path).encode()).hexdigest()[:8]
                 try:
-                    rows.extend(parse_turtle(text or "", bnode_scope=scope))
+                    p = _TurtleParser(tokenize(text or ""), bnode_scope=scope)
+                    rows.extend(p.parse_document(dirty_ok=True))
+                    if acc_stmt is not None and p.skipped:
+                        acc_stmt.add(p.skipped)
                 except Exception:
+                    if acc_file is not None:
+                        acc_file.add(1)
                     continue  # skip-invalid: never fail the job on one file
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select(path_col, text_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
-def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+def read_turtle(spark: SparkSession, path: str, metrics=None) -> DataFrame:
     """Read .ttl / .trig files (plain or compressed) into a quad
     DataFrame.  wholetext=true: one row per file — the file is the
     parallelism unit, as in the reference's ParserPump."""
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value").alias("text")
     )
-    return turtle_files_to_triples(files)
+    return turtle_files_to_triples(files, metrics=metrics)

@@ -873,9 +873,13 @@ class _Planner:
                 sub = self.eval_group(el[1], report_unbound=sub_unbound)
                 df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "subquery":
-                df = join_part(df, self.plan_select(el[1]))
+                sub_unbound = set()
+                sub = self.plan_select(el[1], report_unbound=sub_unbound)
+                df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "union":
-                df = join_part(df, self.eval_union(el))
+                sub_unbound = set()
+                sub = self.eval_union(el, report_unbound=sub_unbound)
+                df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "graph":
                 prev = self.graph
                 self.graph = el[1]
@@ -886,9 +890,10 @@ class _Planner:
                     self.graph = prev
                 df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "service":
-                sub = self.eval_service(el[1], el[2], el[3])
+                sub_unbound = set()
+                sub = self.eval_service(el[1], el[2], el[3], report_unbound=sub_unbound)
                 if sub is not None:  # None = SILENT fallback (unit solution)
-                    df = join_part(df, sub)
+                    df = join_part(df, sub, part_unbound=sub_unbound)
             elif kind == "optional":
                 df = flush_values(df)
                 if df is None:
@@ -947,14 +952,23 @@ class _Planner:
             report_unbound.update(maybe_unbound)
         return df
 
-    def eval_union(self, node) -> DataFrame:
+    def eval_union(self, node, report_unbound: set | None = None) -> DataFrame:
         if node[0] == "group":
-            return self.eval_group(node[1])
+            return self.eval_group(node[1], report_unbound=report_unbound)
         if node[0] == "subquery":
-            return self.plan_select(node[1])
-        return A.union_bag(self.eval_union(node[1]), self.eval_union(node[2]))
+            return self.plan_select(node[1], report_unbound=report_unbound)
+        left = self.eval_union(node[1], report_unbound=report_unbound)
+        right = self.eval_union(node[2], report_unbound=report_unbound)
+        if report_unbound is not None:
+            # union_bag pads variables missing from a branch with NULL
+            # (allowMissingColumns): those are NULL-as-UNBOUND, and a
+            # later join on them needs compatibility semantics
+            report_unbound.update(set(left.columns) ^ set(right.columns))
+        return A.union_bag(left, right)
 
-    def eval_service(self, term, elems: list, silent: bool) -> DataFrame | None:
+    def eval_service(
+        self, term, elems: list, silent: bool, report_unbound: set | None = None
+    ) -> DataFrame | None:
         """SERVICE [SILENT]: evaluate the group against a registered second
         store.  SILENT converts a missing endpoint or evaluation failure
         into the unit solution (the join proceeds unchanged) — the
@@ -967,7 +981,7 @@ class _Planner:
             raise ValueError(f"SPARQL SERVICE: no registered endpoint {term[1]!r}")
         sub_planner = _Planner(store, self.parser, services=self.services)
         try:
-            return sub_planner.eval_group(elems)
+            return sub_planner.eval_group(elems, report_unbound=report_unbound)
         except Exception:
             if silent:
                 return None
@@ -1574,15 +1588,27 @@ class _Planner:
         raise ValueError(f"SPARQL: unknown aggregate {name}")
 
     # -- SELECT planning (top level and subqueries share this)
-    def plan_select(self, q: Query, df: DataFrame | None = None) -> DataFrame:
+    def plan_select(
+        self, q: Query, df: DataFrame | None = None, report_unbound: set | None = None
+    ) -> DataFrame:
         """Plan a SELECT Query's projection / aggregation / modifiers over
         its WHERE result.  Used both by the top-level entry and for nested
         `{ SELECT ... }` subqueries, whose projection scope hides the inner
-        non-projected variables (HalyardTupleExprEvaluation.java:256-285)."""
+        non-projected variables (HalyardTupleExprEvaluation.java:256-285).
+
+        `report_unbound` (out-param) receives the PROJECTED variables that
+        may carry NULL-as-UNBOUND (OPTIONAL/BIND/VALUES-UNDEF inside the
+        body that survive the projection) so an outer join on them uses
+        compatibility semantics."""
+        inner_unbound: set = set()
         if df is None:
-            df = self.eval_group(q.where)
+            df = self.eval_group(q.where, report_unbound=inner_unbound)
         if q.values_clause is not None:  # trailing VALUES joins the whole query
             df = A.values_join(df, self.eval_values(q.values_clause))
+            inner_unbound.update(
+                v for i, v in enumerate(q.values_clause[1])
+                if any(row[i] is None for row in q.values_clause[2])
+            )
         if q.select_all:
             # pattern bnodes are never projected (SPARQL §4.1.4)
             hidden = [c for c in df.columns if c.startswith("__bnode_")]
@@ -1691,6 +1717,8 @@ class _Planner:
 
         if q.offset or q.limit is not None:
             df = A.slice_rows(df, offset=q.offset, limit=q.limit)
+        if report_unbound is not None:
+            report_unbound.update(inner_unbound & set(df.columns))
         return df
 
 

@@ -1,0 +1,127 @@
+"""Round-5 SPARQL front-end fixes: NULL-as-UNBOUND tracking across
+UNION / subquery / SERVICE boundaries (ADVICE r4).
+
+SPARQL join compatibility (§8, Perez et al.): a solution where ?x is
+UNBOUND is compatible with any binding of ?x — a later join must use
+compatibility semantics, not the null-rejecting equi-join.  The
+reference evaluates these through HalyardTupleExprEvaluation's binding-
+set joins, which treat missing bindings as wildcards.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from halyard_spark import nt
+from halyard_spark.query.sparql import sparql_query
+
+EX = "http://example.org/"
+PREFIXES = f"PREFIX ex: <{EX}>\n"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def iri(x):
+    return nt.iri(EX + x)
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    data = [
+        # branch-1 matter
+        (iri("a1"), iri("p1"), iri("x1"), None),
+        # branch-2 matter (binds ?y, leaves ?x unbound in the union)
+        (iri("a2"), iri("p2"), iri("y1"), None),
+        # join targets for ?x
+        (iri("x1"), iri("p3"), iri("z1"), None),
+        (iri("x9"), iri("p3"), iri("z9"), None),
+        # subquery matter
+        (iri("s1"), iri("p1"), iri("o1"), None),
+        (iri("s1"), iri("p2"), iri("x1"), None),
+        (iri("s2"), iri("p1"), iri("o2"), None),
+    ]
+    return spark.createDataFrame(data, "subj string, pred string, obj string, ctx string")
+
+
+def test_union_branch_missing_var_joins_as_wildcard(store):
+    out = sparql_query(store, PREFIXES + """
+        SELECT ?s ?x ?z WHERE {
+          { ?s ex:p1 ?x . FILTER(?s = ex:a1) } UNION { ?s ex:p2 ?y }
+          ?x ex:p3 ?z .
+        }""")
+    got = rows(out)
+    # branch 1: ?x bound -> plain equi-join
+    assert (iri("a1"), iri("x1"), iri("z1")) in got
+    # branch 2 (matches a2 AND s1, which also has ex:p2): ?x UNBOUND ->
+    # compatible with EVERY ?x ex:p3 ?z solution
+    for s in ("a2", "s1"):
+        assert (iri(s), iri("x1"), iri("z1")) in got
+        assert (iri(s), iri("x9"), iri("z9")) in got
+    assert len(got) == 5
+
+
+def test_subquery_optional_var_joins_as_wildcard(store):
+    out = sparql_query(store, PREFIXES + """
+        SELECT ?s ?x ?z WHERE {
+          { SELECT ?s ?x WHERE { ?s ex:p1 ?o OPTIONAL { ?s ex:p2 ?x } } }
+          ?x ex:p3 ?z .
+        }""")
+    got = rows(out)
+    assert (iri("s1"), iri("x1"), iri("z1")) in got
+    # s2's ?x is unbound from the subquery -> wildcard join
+    assert (iri("s2"), iri("x1"), iri("z1")) in got
+    assert (iri("s2"), iri("x9"), iri("z9")) in got
+    # a1 has ex:p1 too: its subquery row has no OPTIONAL match
+    assert (iri("a1"), iri("x1"), iri("z1")) in got
+    assert (iri("a1"), iri("x9"), iri("z9")) in got
+    assert len(got) == 5
+
+
+def test_subquery_values_undef_projected_is_wildcard(store):
+    out = sparql_query(store, PREFIXES + """
+        SELECT ?s ?x ?z WHERE {
+          { SELECT ?s ?x WHERE { ?s ex:p1 ?o VALUES ?x { UNDEF } } }
+          ?x ex:p3 ?z .
+        }""")
+    got = rows(out)
+    # every p1 subject crosses with both p3 solutions (x UNDEF everywhere)
+    subs = {s for s, _, _ in got}
+    assert subs == {iri("a1"), iri("s1"), iri("s2")}
+    assert len(got) == 6
+
+
+def test_service_optional_var_joins_as_wildcard(spark, store):
+    remote = spark.createDataFrame(
+        [
+            (iri("a1"), iri("p1"), iri("o9"), None),
+            (iri("a1"), iri("p2"), iri("x1"), None),
+            (iri("a2"), iri("p1"), iri("o8"), None),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    out = sparql_query(store, PREFIXES + """
+        SELECT ?s ?x ?z WHERE {
+          SERVICE <urn:store:remote> { ?s ex:p1 ?o OPTIONAL { ?s ex:p2 ?x } }
+          ?x ex:p3 ?z .
+        }""", services={"urn:store:remote": remote})
+    got = rows(out)
+    assert (iri("a1"), iri("x1"), iri("z1")) in got
+    assert (iri("a2"), iri("x1"), iri("z1")) in got
+    assert (iri("a2"), iri("x9"), iri("z9")) in got
+    assert len(got) == 3
+
+
+def test_union_both_branches_bind_var_stays_equijoin(store):
+    # regression guard: when BOTH branches bind ?x, no wildcard behavior
+    out = sparql_query(store, PREFIXES + """
+        SELECT ?s ?x ?z WHERE {
+          { ?s ex:p1 ?x } UNION { ?s ex:p2 ?x }
+          ?x ex:p3 ?z .
+        }""")
+    got = rows(out)
+    assert got == sorted([
+        (iri("a1"), iri("x1"), iri("z1")),
+        (iri("s1"), iri("x1"), iri("z1")),
+    ])

@@ -55,10 +55,10 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+|\#[^\n]*)
   | (?P<IRI><[^<>"{}|^`\\\s]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
-  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<STRING>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3}|'{3}(?:[^'\\]|\\.|'(?!'{2}))*'{3}|"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUM>[+-]?(?:\d+\.\d+|\d+\.(?=[eE])|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)?
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_\-]*)?:(?:[A-Za-z0-9_\-%](?:[A-Za-z0-9_\-.%]*[A-Za-z0-9_\-%])?)?
              |[A-Za-z_][A-Za-z0-9_\-]*)
   | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!*/+\-?^|])
     """,
@@ -174,7 +174,12 @@ class _Parser:
                 self.base = self.expect("IRI").value[1:-1]
             else:
                 break
-        return self.parse_query_body()
+        q = self.parse_query_body()
+        if self.peek().kind != "EOF":
+            raise SyntaxError(
+                f"SPARQL: trailing tokens after query: {self.peek().value!r}"
+            )
+        return q
 
     def parse_query_body(self) -> Query:
         """Query form + WHERE + solution modifiers.  Also the subquery
@@ -207,14 +212,23 @@ class _Parser:
                         q.projections.append((v, e))
                     else:
                         break
+                if not q.projections:
+                    raise SyntaxError("SPARQL: SELECT needs '*' or at least one projection")
         elif q.form == "construct":
-            q.template = self.parse_group()
-            for el in q.template:
-                if el[0] != "triple":
-                    raise SyntaxError("SPARQL: CONSTRUCT template must contain only triples")
+            if self.peek().kind == "OP" and self.peek().value == "{":
+                q.template = self.parse_group()
+                for el in q.template:
+                    if el[0] != "triple":
+                        raise SyntaxError("SPARQL: CONSTRUCT template must contain only triples")
+            else:
+                # CONSTRUCT WHERE { triples } shortform (§10.2.3): the
+                # WHERE pattern doubles as the template
+                q.template = None
         elif q.form == "describe":
             while self.peek().kind in ("IRI", "PNAME", "VAR"):
                 q.describe_terms.append(self.parse_term())
+            if not q.describe_terms:
+                raise SyntaxError("SPARQL: DESCRIBE needs at least one IRI or variable")
         # DatasetClause*: FROM <g> / FROM NAMED <g> (SPARQL 1.1 §13.2) —
         # the reference resolves these through the RDF4J Dataset on the
         # strategy (filters the context of every scan)
@@ -231,6 +245,15 @@ class _Parser:
             q.where = self.parse_group()
         elif self.peek().kind == "OP" and self.peek().value == "{":
             q.where = self.parse_group()
+        if q.form == "construct" and q.template is None:
+            if not q.where:
+                raise SyntaxError("SPARQL: CONSTRUCT WHERE shortform needs a pattern")
+            for el in q.where:
+                if el[0] != "triple":
+                    raise SyntaxError(
+                        "SPARQL: CONSTRUCT WHERE shortform allows only triple patterns"
+                    )
+            q.template = q.where
         while True:
             if self.accept("KW", "group"):
                 self.expect("KW", "by")
@@ -260,6 +283,7 @@ class _Parser:
                 self.expect("OP", ")")
             elif self.accept("KW", "order"):
                 self.expect("KW", "by")
+                n_before_order = len(q.order_by)
                 while True:
                     t = self.peek()
                     if t.kind == "KW" and t.value in ("asc", "desc"):
@@ -283,6 +307,8 @@ class _Parser:
                         q.order_by.append((self.parse_primary(), True))
                     else:
                         break
+                if len(q.order_by) == n_before_order:
+                    raise SyntaxError("SPARQL: ORDER BY needs at least one condition")
             elif self.accept("KW", "limit"):
                 q.limit = int(self.expect("NUM").value)
             elif self.accept("KW", "offset"):
@@ -403,6 +429,10 @@ class _Parser:
                 row = []
                 while not self.accept("OP", ")"):
                     row.append(self.parse_values_term())
+                if len(row) != len(vars_):
+                    raise SyntaxError(
+                        f"SPARQL: VALUES row has {len(row)} terms for {len(vars_)} variables"
+                    )
                 rows.append(tuple(row))
         return ("values", vars_, rows)
 
@@ -523,12 +553,31 @@ class _Parser:
             self.expect("OP", ")")
         else:
             one()
+        if not fwd and not inv:
+            raise SyntaxError("SPARQL: negated property set needs at least one member")
         return ("nps", fwd, inv)
 
     def parse_term(self):
         t = self.next()
         if t.kind == "VAR":
             return ("var", t.value[1:])
+        if t.kind == "OP" and t.value == "(":
+            # RDF collection ( e1 e2 ... ): rdf:first/rest chain of
+            # anonymous pattern bnodes; () is rdf:nil (SPARQL §4.1.5)
+            items = []
+            while not (self.peek().kind == "OP" and self.peek().value == ")"):
+                items.append(self.parse_term())
+            self.expect("OP", ")")
+            if not items:
+                return ("iri", nt.RDF + "nil")
+            nodes = [("var", self._anon_var()) for _ in items]
+            first = ("iri", nt.RDF + "first")
+            rest = ("iri", nt.RDF + "rest")
+            for i, (node, item) in enumerate(zip(nodes, items)):
+                self._pending.append(("triple", node, first, item))
+                nxt = nodes[i + 1] if i + 1 < len(nodes) else ("iri", nt.RDF + "nil")
+                self._pending.append(("triple", node, rest, nxt))
+            return nodes[0]
         if t.kind == "OP" and t.value == "[":
             # blank-node property list: [] or [ p1 o1 ; p2 o2 ] — the node
             # is an anonymous variable (SPARQL pattern bnodes are
@@ -641,9 +690,15 @@ class _Parser:
                 e = ("arith", op, e, self.parse_multiplicative())
             elif t.kind == "NUM" and t.value[0] in "+-":
                 # '?a+1' tokenizes the sign into the number (SPARQL's own
-                # grammar note §19.2): split it back into op + operand
+                # grammar note §19.2): split it back into op + operand —
+                # and keep multiplicative precedence for what follows
+                # ('1+2*3' must parse as 1+(2*3))
                 self.next()
-                e = ("arith", t.value[0], e, ("num", t.value[1:]))
+                rhs = ("num", t.value[1:])
+                while self.peek().kind == "OP" and self.peek().value in ("*", "/"):
+                    op2 = self.next().value
+                    rhs = ("arith", op2, rhs, self.parse_unary())
+                e = ("arith", t.value[0], e, rhs)
             else:
                 break
         return e
@@ -709,11 +764,15 @@ class _Parser:
                 sep = _unescape_string(self.expect("STRING").value)
         self.expect("OP", ")")
         if name in self._AGGREGATES:
+            if not args:
+                raise SyntaxError(f"SPARQL: {name.upper()}() needs an expression or *")
             return ("agg", name, distinct, args, sep)
         return ("call", name, args)
 
 
 def _unescape_string(raw: str) -> str:
+    if raw[:3] in ('"' * 3, "'" * 3):
+        return nt.unescape(raw[3:-3])
     return nt.unescape(raw[1:-1])
 
 

@@ -21,6 +21,7 @@ from pathlib import Path
 import pytest
 
 from halyard_spark.query.sparql import sparql_query, sparql_update
+from halyard_spark.query.sparql import tokenize as tokenize_sparql
 
 W3C_DIR = Path(__file__).parent / "w3c"
 
@@ -60,6 +61,18 @@ MANIFEST = json.loads((W3C_DIR / "manifest.json").read_text())
 
 @pytest.mark.parametrize("case", MANIFEST, ids=[c["name"] for c in MANIFEST])
 def test_w3c_case(spark, case):
+    if case.get("type") in ("syntax-positive", "syntax-negative"):
+        # syntax-query tests: parse-only, mirroring the official suite's
+        # PositiveSyntaxTest11 / NegativeSyntaxTest11 entry types
+        from halyard_spark.query.sparql import _Parser
+
+        text = (W3C_DIR / case["query"]).read_text()
+        if case["type"] == "syntax-positive":
+            _Parser(tokenize_sparql(text)).parse()
+        else:
+            with pytest.raises(SyntaxError):
+                _Parser(tokenize_sparql(text)).parse()
+        return
     data = load_nquads(spark, W3C_DIR / case["data"])
     if "update" in case:  # update manifest entry: mutate, then verify
         data = sparql_update(data, (W3C_DIR / case["update"]).read_text())

@@ -451,6 +451,54 @@ def q_turtle_load(spark, sf_dir):
     return out
 
 
+def q_jsonld_load(spark, sf_dir):
+    """Full JSON-LD expansion source (sources/jsonld.py; the reference
+    parses ND-JSON-LD through RDF4J's complete JSON-LD algebra,
+    rio/.../NDJSONLDParser.java:38-75): serialize the region table as
+    ND-JSON-LD lines exercising term maps, compact IRIs, @type:@id
+    coercion, a language-tagged @value, and a native integer — then
+    parse back through the extension-dispatched reader."""
+    import json as _json
+    import os
+    import tempfile
+
+    from halyard_spark.sources.rio import read_rdf
+
+    ctx = {
+        "@vocab": "urn:p:",
+        "r": "urn:region:",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "label": "rdfs:label",
+        "linked": {"@id": "next", "@type": "@id"},
+    }
+    rows = sorted(
+        (r["r_regionkey"], r["r_name"])
+        for r in _t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    )
+    lines = [
+        _json.dumps({
+            "@context": ctx,
+            "@id": f"r:{key}",
+            "@type": "Region",
+            "label": {"@value": name, "@language": "en"},
+            "key": int(key),
+            "linked": f"r:{(key + 1) % 5}",
+        })
+        for key, name in rows
+    ]
+    fd, path = tempfile.mkstemp(
+        prefix=f"halyard_jsonld_load_{os.getpid()}_", suffix=".ndjsonld"
+    )
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(lines))
+    try:
+        out = read_rdf(spark, path).select("subj", "pred", "obj")
+        out = spark.createDataFrame(out.collect(), out.schema)  # pin before unlink
+    finally:
+        os.unlink(path)
+    return out
+
+
 def q_kg_bgp(spark, sf_dir):
     """Statement-pattern scans + BGP join over the emitted triples
     (SURVEY §2.1 scan + §2.3 join)."""
@@ -1110,6 +1158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minus_no_orders": q_minus_no_orders,
     # --- new round-4 surface
     "turtle_load": q_turtle_load,
+    "jsonld_load": q_jsonld_load,
     "mvcc_resolve": q_mvcc_resolve,
     "dedup_embedding": q_dedup_embedding,
     # --- remaining catalog
@@ -1495,6 +1544,25 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT '<urn:region:' || k || '>', '<urn:p:key>',
                '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM r
+    """,
+    "jsonld_load": """
+        WITH r AS (SELECT CAST(r_regionkey AS VARCHAR) AS k,
+                          CAST((r_regionkey + 1) % 5 AS VARCHAR) AS nk,
+                          r_name AS n FROM region)
+        SELECT '<urn:region:' || k || '>' AS subj,
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+               '<urn:p:Region>' AS obj
+        FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>',
+               '<http://www.w3.org/2000/01/rdf-schema#label>',
+               '"' || n || '"@en' FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:key>',
+               '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:next>',
+               '<urn:region:' || nk || '>' FROM r
     """,
     "intersection_semi": """
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -156,11 +156,62 @@ def pick_format(accept: str | None) -> tuple[str, "callable"]:
     return RESULTS_JSON, _FORMATS[RESULTS_JSON]
 
 
+def load_stored_queries(path: str) -> dict[str, str]:
+    """Read a stored-queries property file (name=SPARQL text, ``#``
+    comments, trailing-backslash line continuations) — the same shape
+    the reference's endpoint takes via ``-q`` (HalyardEndpoint.java:70-74
+    loads a java.util.Properties file of pre-defined templates)."""
+    out: dict[str, str] = {}
+    pending = ""
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = pending + raw.rstrip("\n")
+            pending = ""
+            if not line.strip() or line.lstrip().startswith(("#", "!")):
+                continue
+            if line.endswith("\\") and not line.endswith("\\\\"):
+                pending = line[:-1]
+                continue
+            key, sep, value = line.partition("=")
+            if sep:
+                out[key.strip()] = value.strip().replace("\\n", "\n")
+    if pending:
+        key, sep, value = pending.partition("=")
+        if sep:
+            out[key.strip()] = value.strip().replace("\\n", "\n")
+    return out
+
+
+# SPARQL-protocol parameter names that are NOT stored-query template
+# parameters (the reference treats exactly query/defaultGraph/namedGraph
+# as protocol-level, HttpSparqlHandler.parseParameter:294-314)
+_PROTOCOL_PARAMS = {"query", "update", "default-graph-uri", "named-graph-uri"}
+
+# paths that address the service itself rather than a stored query (the
+# reference serves at "/"; this repo's historical convention adds /sparql)
+_SERVICE_ROOTS = ("", "/", "/sparql")
+
+
+def substitute_params(query: str, params: dict[str, list[str]] | None) -> str:
+    """Replace ``{{name}}`` tokens with the request's parameter values —
+    the reference's template mechanism (HttpSparqlHandler.java:468-488:
+    StringUtils.replaceEach over ``{{name}}`` tokens)."""
+    if not params:
+        return query
+    for name, values in params.items():
+        if name in _PROTOCOL_PARAMS or not values:
+            continue
+        query = query.replace("{{" + name + "}}", values[0])
+    return query
+
+
 class SparqlEndpoint:
     """Serve SPARQL over HTTP for one triples DataFrame.
 
-    stored: name -> SPARQL string, served at /stored/<name> (the
-    reference's stored-queries feature, HttpSparqlHandler.java).
+    stored: name -> SPARQL template, addressable at /<name> (optional
+    extension stripped) or /stored/<name>, with {{param}} substitution
+    from extra request parameters — the reference's stored-queries
+    feature (HttpSparqlHandler.java:177-193,468-488).
     """
 
     def __init__(
@@ -204,10 +255,22 @@ class SparqlEndpoint:
                 self.send_response(204)
                 self.end_headers()
 
+            def _resolve_stored(self, path: str) -> str | None:
+                """Reference lookup order: exact name, then name with the
+                extension cut (HttpSparqlHandler.java:179-187)."""
+                name = path[len("/stored/"):] if path.startswith("/stored/") else path.lstrip("/")
+                if name in ep.stored:
+                    return ep.stored[name]
+                i = name.rfind(".")
+                if i > 0 and name[:i] in ep.stored:
+                    return ep.stored[name[:i]]
+                return None
+
             def _answer(self, query: str | None, params: dict | None = None):
                 if not query:
                     self.send_error(400, "missing query")
                     return
+                query = substitute_params(query, params)
                 # SPARQL protocol dataset parameters override the query's
                 # own FROM / FROM NAMED (HttpSparqlHandler honors the same
                 # precedence through the RDF4J Dataset)
@@ -235,16 +298,36 @@ class SparqlEndpoint:
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
                 params = urllib.parse.parse_qs(parsed.query)
-                if parsed.path.startswith("/stored/"):
-                    name = parsed.path[len("/stored/"):]
-                    self._answer(ep.stored.get(name), params)
+                if parsed.path not in _SERVICE_ROOTS:
+                    q = self._resolve_stored(parsed.path)
+                    if q is None:
+                        self.send_error(
+                            400, f"No stored query for path: {parsed.path}"
+                        )
+                        return
+                    self._answer(q, params)
                     return
                 self._answer((params.get("query") or [None])[0], params)
 
             def do_POST(self):
+                parsed = urllib.parse.urlparse(self.path)
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length).decode()
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if parsed.path not in _SERVICE_ROOTS:
+                    # stored query addressed by path; form/query params may
+                    # still carry template parameters (reference: stored
+                    # query + parseParameter on the remaining params)
+                    q = self._resolve_stored(parsed.path)
+                    if q is None:
+                        self.send_error(400, f"No stored query for path: {parsed.path}")
+                        return
+                    params = urllib.parse.parse_qs(parsed.query)
+                    if ctype == "application/x-www-form-urlencoded":
+                        for k, v in urllib.parse.parse_qs(body).items():
+                            params.setdefault(k, []).extend(v)
+                    self._answer(q, params)
+                    return
                 if ctype == "application/sparql-query":
                     self._answer(body)
                 elif ctype == "application/sparql-update":

@@ -141,109 +141,24 @@ def json_to_triples(df: DataFrame, node_col: str, struct_col: str, ns: str = "ur
 TRIPLE_SCHEMA = "subj string, pred string, obj string, ctx string"
 
 
-def _jsonld_expand_iri(term: str, ctx: dict) -> str:
-    import re
-
-    if term in ctx and isinstance(ctx[term], str):
-        return ctx[term]
-    if ":" in term:
-        prefix, _, local = term.partition(":")
-        if prefix in ctx and isinstance(ctx[prefix], str):
-            return ctx[prefix] + local
-    vocab = ctx.get("@vocab", "urn:ndjsonld:")
-    return term if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", term) else vocab + term
-
-
-def _jsonld_emit(doc: dict, out: list) -> None:
-    """One JSON-LD node object -> (s, p, o, None) rows (the supported
-    subset documented on ndjsonld_to_triples)."""
-    import hashlib
-    import json
-
-    expand_iri = _jsonld_expand_iri
-    ctx = doc.get("@context") or {}
-    if not isinstance(ctx, dict):
-        ctx = {}
-    sid = doc.get("@id")
-    if sid:
-        subj = nt.iri(expand_iri(str(sid), ctx))
-    else:
-        digest = hashlib.sha1(
-            json.dumps(doc, sort_keys=True).encode()
-        ).hexdigest()
-        subj = f"_:b{digest}"  # deterministic skolem bnode
-    for key, val in doc.items():
-        if key in ("@context", "@id"):
-            continue
-        if key == "@type":
-            pred = nt.iri(nt.RDF + "type")
-            vals = val if isinstance(val, list) else [val]
-            for v in vals:
-                out.append((subj, pred, nt.iri(expand_iri(str(v), ctx)), None))
-            continue
-        pred = nt.iri(expand_iri(key, ctx))
-        vals = val if isinstance(val, list) else [val]
-        for v in vals:
-            if isinstance(v, dict):
-                if "@id" in v:
-                    out.append((subj, pred, nt.iri(expand_iri(str(v["@id"]), ctx)), None))
-                elif "@value" in v:
-                    out.append(
-                        (
-                            subj,
-                            pred,
-                            nt.lit(
-                                str(v["@value"]),
-                                lang=v.get("@language"),
-                                dtype=expand_iri(v["@type"], ctx) if "@type" in v else None,
-                            ),
-                            None,
-                        )
-                    )
-            elif isinstance(v, bool):
-                out.append((subj, pred, nt.lit("true" if v else "false", dtype=nt.XSD + "boolean"), None))
-            elif isinstance(v, (int, float)):
-                dt = nt.XSD + ("integer" if isinstance(v, int) else "double")
-                out.append((subj, pred, nt.lit(str(v), dtype=dt), None))
-            elif v is not None:
-                out.append((subj, pred, nt.lit(str(v)), None))
-
-
-def _jsonld_emit_document(doc, out: list) -> None:
-    """A whole JSON-LD DOCUMENT: a node object, a top-level array of node
-    objects, or {@context, @graph: [...]} with the outer context inherited
-    by (and shallow-merged under) each node."""
-    if isinstance(doc, list):
-        for node in doc:
-            if isinstance(node, dict):
-                _jsonld_emit_document(node, out)
-        return
-    if not isinstance(doc, dict):
-        return
-    if isinstance(doc.get("@graph"), list):
-        outer = doc.get("@context") or {}
-        if not isinstance(outer, dict):
-            outer = {}
-        for node in doc["@graph"]:
-            if isinstance(node, dict):
-                inner = node.get("@context") or {}
-                if not isinstance(inner, dict):
-                    inner = {}
-                _jsonld_emit({**node, "@context": {**outer, **inner}}, out)
-        return
-    _jsonld_emit(doc, out)
+# Full JSON-LD 1.0 expansion lives in sources/jsonld.py (term maps,
+# @vocab/@base/@language, containers, @list, nested nodes, @graph,
+# @reverse); the readers below call jsonld_to_rows for per-document
+# all-or-nothing emission.
 
 
 def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: str = "text", metrics=None) -> DataFrame:
     """Whole-document JSON-LD reader (.jsonld): one file = ONE JSON-LD
     document (pretty-printed / multi-line), vs the newline-delimited
-    ND-JSON-LD form.  Supports top-level node objects, arrays, and
-    @graph containers; unparseable files yield no rows (skip-invalid,
-    counted when a ParseMetrics is given)."""
-    import json
+    ND-JSON-LD form.  Full JSON-LD 1.0 expansion (sources/jsonld.py);
+    unparseable files yield no rows — not even partial ones (the whole
+    file is rolled back, skip-invalid, counted when a ParseMetrics is
+    given)."""
     from collections.abc import Iterator
 
     import pandas as pd
+
+    from halyard_spark.sources.jsonld import jsonld_to_rows
 
     cols = ["subj", "pred", "obj", "ctx"]
     acc_file = metrics.files_failed if metrics is not None else None
@@ -251,14 +166,13 @@ def jsonld_files_to_triples(files: DataFrame, path_col: str = "path", text_col: 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list = []
-            for text in pdf[text_col]:
+            for path, text in zip(pdf[path_col], pdf[text_col]):
                 try:
-                    doc = json.loads(text or "")
+                    rows.extend(jsonld_to_rows(text or "", scope=str(path)))
                 except ValueError:
                     if acc_file is not None:
                         acc_file.add(1)
                     continue
-                _jsonld_emit_document(doc, rows)
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select(path_col, text_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
@@ -276,21 +190,22 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value", metrics=None) ->
     document (rio/.../NDJSONLDParser.java:38-75 wraps each line as an
     independent JSON-LD document).
 
-    Supported JSON-LD subset: @context with simple prefix/term string
-    mappings, @id (subject IRI; blank node skolemized from content when
-    absent), @type, scalar values -> literals, {"@id": ...} -> IRI objects,
-    {"@value", "@language"/"@type"} -> tagged/typed literals, arrays of any
-    of those.  Runs as Arrow-batched pandas over the line column — JSON-LD
-    term resolution is data-dependent, so this is a genuine
-    can't-express-in-built-ins boundary (the same place the reference
-    spends a ParserPump thread, tools/.../HalyardBulkLoad.java:321-482).
+    Full JSON-LD 1.0 expansion (sources/jsonld.py): @context term maps
+    (incl. {"@id", "@type": "@id", "@container"} definitions and
+    compact-IRI values), @vocab/@base/@language defaults, @list/@set/
+    @index/@language containers, nested node objects, @graph (named ->
+    ctx column), @reverse.  Runs as Arrow-batched pandas over the line
+    column — JSON-LD term resolution is data-dependent, so this is a
+    genuine can't-express-in-built-ins boundary (the same place the
+    reference spends a ParserPump thread,
+    tools/.../HalyardBulkLoad.java:321-482).
     """
-    import json
     from collections.abc import Iterator
 
     import pandas as pd
 
-    emit = _jsonld_emit
+    from halyard_spark.sources.jsonld import jsonld_to_rows
+
     acc_stmt = metrics.statements_skipped if metrics is not None else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -302,13 +217,11 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value", metrics=None) ->
                 if not line:
                     continue
                 try:
-                    doc = json.loads(line)
+                    rows.extend(jsonld_to_rows(line, scope=line))
                 except ValueError:
                     if acc_stmt is not None:
                         acc_stmt.add(1)
                     continue  # dirty-parse tolerance (HalyardBulkLoad skipinvalid)
-                if isinstance(doc, dict):
-                    emit(doc, rows)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(line_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)

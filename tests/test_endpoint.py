@@ -308,3 +308,67 @@ def test_endpoint_update_snapshot_is_pinned(spark):
         assert ep.triples.count() == 4
     finally:
         ep.stop()
+
+
+def test_stored_query_root_path_and_extension_cut(ep):
+    """Reference path addressing (HttpSparqlHandler.java:177-193): any
+    non-service path names a stored query; unknown extension is cut."""
+    data = _get(f"http://127.0.0.1:{ep.port}/names")
+    assert len(data["results"]["bindings"]) == 2
+    data2 = _get(f"http://127.0.0.1:{ep.port}/names.json")
+    assert data2 == data
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"http://127.0.0.1:{ep.port}/no_such_template")
+    assert e.value.code == 400
+
+
+def test_stored_query_template_parameters(spark):
+    """{{param}} substitution from request parameters
+    (HttpSparqlHandler.java:468-488)."""
+    rows = [
+        ("<urn:a>", "<urn:p:name>", nt.lit("Ada"), None),
+        ("<urn:b>", "<urn:p:name>", nt.lit("Bo"), None),
+    ]
+    g = spark.createDataFrame(rows, "subj string, pred string, obj string, ctx string")
+    endpoint = SparqlEndpoint(
+        g,
+        stored={"by_subj": "SELECT ?n WHERE { <{{subj}}> <urn:p:name> ?n }"},
+    ).start()
+    try:
+        data = _get(
+            f"http://127.0.0.1:{endpoint.port}/by_subj?subj="
+            + urllib.parse.quote("urn:a")
+        )
+        vals = [b["n"]["value"] for b in data["results"]["bindings"]]
+        assert vals == ["Ada"]
+        # POST form params substitute too
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{endpoint.port}/by_subj",
+            data=urllib.parse.urlencode({"subj": "urn:b"}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            data2 = json.load(r)
+        assert [b["n"]["value"] for b in data2["results"]["bindings"]] == ["Bo"]
+    finally:
+        endpoint.stop()
+
+
+def test_load_stored_queries_property_file(tmp_path):
+    from halyard_spark.endpoint import load_stored_queries
+
+    p = tmp_path / "queries.properties"
+    p.write_text(
+        "# stored templates (HalyardEndpoint -q property file)\n"
+        "names=SELECT ?s ?n WHERE { ?s <urn:p:name> ?n }\n"
+        "my_describe_query=describe <{{my_parameter}}>\n"
+        "long=SELECT ?s \\\n"
+        "WHERE { ?s ?p ?o }\n"
+        "\n"
+        "! also a comment\n"
+    )
+    qs = load_stored_queries(str(p))
+    assert qs["names"].startswith("SELECT ?s ?n")
+    assert qs["my_describe_query"] == "describe <{{my_parameter}}>"
+    assert qs["long"] == "SELECT ?s WHERE { ?s ?p ?o }"
+    assert len(qs) == 3

@@ -1,0 +1,264 @@
+"""Full JSON-LD 1.0 expansion (sources/jsonld.py).
+
+Golden test: the reference's own ND-JSON-LD fixture
+(rio/src/test/resources/com/msd/gin/halyard/rio/efo_test.ndjsonld) must
+expand to exactly the triple set of its Turtle golden (efo_test.ttl) —
+the same equivalence the reference asserts via RDF4J in
+NDJSONLDParserTest.java:43-52, here with our own Turtle parser reading
+the golden side.
+"""
+
+import json
+
+import pytest
+
+from halyard_spark import nt
+from halyard_spark.sources.jsonld import jsonld_to_rows
+
+REF_RIO = "/root/reference/rio/src/test/resources/com/msd/gin/halyard/rio"
+
+EX = "http://ex.org/"
+
+
+def rows(text, scope=""):
+    return jsonld_to_rows(text if isinstance(text, str) else json.dumps(text),
+                          scope=scope)
+
+
+def spo(text, scope=""):
+    return {(s, p, o) for s, p, o, _ in rows(text, scope)}
+
+
+def test_efo_fixture_matches_turtle_golden():
+    from halyard_spark.sources.turtle import parse_turtle
+
+    with open(f"{REF_RIO}/efo_test.ndjsonld") as f:
+        got = set()
+        for line in f:
+            line = line.strip()
+            if line:
+                got |= {(s, p, o) for s, p, o, _ in jsonld_to_rows(line, scope=line)}
+    with open(f"{REF_RIO}/efo_test.ttl") as f:
+        want = {(s, p, o) for s, p, o, _ in parse_turtle(f.read())}
+    assert got == want  # no bnodes in the fixture: direct set equality
+
+
+def test_term_map_with_type_id_coercion():
+    doc = {
+        "@context": {
+            "@vocab": "http://v.org/",
+            "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+            "label": "rdfs:label",
+            "parents": {"@id": "rdfs:subClassOf", "@type": "@id",
+                        "@container": "@set"},
+        },
+        "@id": "http://x.org/a",
+        "label": "thing",
+        "parents": ["http://x.org/b", "http://x.org/c"],
+    }
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    assert spo(doc) == {
+        ("<http://x.org/a>", f"<{rdfs}label>", nt.lit("thing")),
+        ("<http://x.org/a>", f"<{rdfs}subClassOf>", "<http://x.org/b>"),
+        ("<http://x.org/a>", f"<{rdfs}subClassOf>", "<http://x.org/c>"),
+    }
+
+
+def test_nested_context_override_and_inheritance():
+    doc = {
+        "@context": {"name": EX + "name", "p": EX + "p"},
+        "@id": EX + "a",
+        "name": "outer",
+        "p": {
+            "@context": {"name": EX + "inner_name"},
+            "@id": EX + "b",
+            "name": "inner",
+            "p": {"@id": EX + "c"},  # `p` inherited from the outer ctx
+        },
+    }
+    assert spo(doc) == {
+        (f"<{EX}a>", f"<{EX}name>", nt.lit("outer")),
+        (f"<{EX}a>", f"<{EX}p>", f"<{EX}b>"),
+        (f"<{EX}b>", f"<{EX}inner_name>", nt.lit("inner")),
+        (f"<{EX}b>", f"<{EX}p>", f"<{EX}c>"),
+    }
+
+
+def test_list_container_emits_rdf_collection():
+    doc = {
+        "@context": {"seq": {"@id": EX + "seq", "@container": "@list"}},
+        "@id": EX + "a",
+        "seq": ["x", "y"],
+    }
+    got = rows(doc)
+    first = {(s, o) for s, p, o, _ in got if p == f"<{nt.RDF}first>"}
+    rest = {(s, o) for s, p, o, _ in got if p == f"<{nt.RDF}rest>"}
+    heads = [o for s, p, o, _ in got if p == f"<{EX}seq>"]
+    assert len(heads) == 1 and heads[0].startswith("_:")
+    n1 = heads[0]
+    (n2,) = [o for s, o in rest if s == n1]
+    assert (n1, nt.lit("x")) in first and (n2, nt.lit("y")) in first
+    assert (n2, f"<{nt.RDF}nil>") in rest
+    # explicit @list value object is equivalent
+    doc2 = {"@context": {"seq": EX + "seq"}, "@id": EX + "a",
+            "seq": {"@list": ["x", "y"]}}
+    assert spo(doc2) == spo(doc)
+    # empty list -> rdf:nil, no chain nodes
+    doc3 = {"@context": {"seq": EX + "seq"}, "@id": EX + "a",
+            "seq": {"@list": []}}
+    assert spo(doc3) == {(f"<{EX}a>", f"<{EX}seq>", f"<{nt.RDF}nil>")}
+
+
+def test_language_defaults_and_container():
+    doc = {
+        "@context": {"@language": "en", "t": EX + "t",
+                     "plain": {"@id": EX + "plain", "@language": None},
+                     "byLang": {"@id": EX + "l", "@container": "@language"}},
+        "@id": EX + "a",
+        "t": "hello",              # context default language
+        "plain": "raw",            # term nulls the default
+        "byLang": {"de": "Hallo", "fr": ["Bonjour", "Salut"]},
+    }
+    assert spo(doc) == {
+        (f"<{EX}a>", f"<{EX}t>", nt.lit("hello", lang="en")),
+        (f"<{EX}a>", f"<{EX}plain>", nt.lit("raw")),
+        (f"<{EX}a>", f"<{EX}l>", nt.lit("Hallo", lang="de")),
+        (f"<{EX}a>", f"<{EX}l>", nt.lit("Bonjour", lang="fr")),
+        (f"<{EX}a>", f"<{EX}l>", nt.lit("Salut", lang="fr")),
+    }
+
+
+def test_base_and_relative_ids():
+    doc = {
+        "@context": {"@base": "http://b.org/dir/", "p": EX + "p"},
+        "@id": "item",
+        "p": {"@id": "other"},
+    }
+    assert spo(doc) == {
+        ("<http://b.org/dir/item>", f"<{EX}p>", "<http://b.org/dir/other>"),
+    }
+
+
+def test_named_graph_lands_in_ctx_column():
+    doc = {
+        "@context": {"p": EX + "p"},
+        "@id": EX + "g1",
+        "@graph": [{"@id": EX + "a", "p": "v"}],
+    }
+    assert rows(doc) == [
+        (f"<{EX}a>", f"<{EX}p>", nt.lit("v"), f"<{EX}g1>"),
+    ]
+    # top-level @graph with no @id -> default graph
+    doc2 = {"@context": {"p": EX + "p"},
+            "@graph": [{"@id": EX + "a", "p": "v"}]}
+    assert rows(doc2) == [(f"<{EX}a>", f"<{EX}p>", nt.lit("v"), None)]
+
+
+def test_reverse_property():
+    doc = {
+        "@context": {"children": {"@reverse": EX + "parent"}},
+        "@id": EX + "a",
+        "children": [{"@id": EX + "b"}, {"@id": EX + "c"}],
+    }
+    assert spo(doc) == {
+        (f"<{EX}b>", f"<{EX}parent>", f"<{EX}a>"),
+        (f"<{EX}c>", f"<{EX}parent>", f"<{EX}a>"),
+    }
+
+
+def test_index_container_drops_index():
+    doc = {
+        "@context": {"b": {"@id": EX + "b", "@container": "@index"}},
+        "@id": EX + "a",
+        "b": {"k1": "x", "k2": ["y", "z"]},
+    }
+    assert spo(doc) == {
+        (f"<{EX}a>", f"<{EX}b>", nt.lit(v)) for v in ("x", "y", "z")
+    }
+
+
+def test_compact_iri_in_type_and_values():
+    doc = {
+        "@context": {"ex": EX, "k": {"@id": "ex:k", "@type": "@vocab"}},
+        "@id": "ex:a",
+        "@type": "ex:T",
+        "k": "ex:v",
+    }
+    assert spo(doc) == {
+        (f"<{EX}a>", f"<{nt.RDF}type>", f"<{EX}T>"),
+        (f"<{EX}a>", f"<{EX}k>", f"<{EX}v>"),
+    }
+
+
+def test_nested_anonymous_nodes_get_distinct_stable_bnodes():
+    doc = {
+        "@context": {"p": EX + "p", "name": EX + "name"},
+        "@id": EX + "a",
+        "p": [{"name": "x"}, {"name": "x"}],  # same content, two nodes
+    }
+    got = rows(doc)
+    children = [o for s, p, o, _ in got if p == f"<{EX}p>"]
+    assert len(children) == 2 and len(set(children)) == 2
+    assert all(c.startswith("_:") for c in children)
+    assert rows(doc) == got  # deterministic
+
+
+def test_explicit_bnode_labels_scoped_per_document():
+    doc = {"@context": {"p": EX + "p"}, "@id": "_:x", "p": {"@id": "_:y"}}
+    a = rows(doc, scope="line1")
+    b = rows(doc, scope="line2")
+    assert len(a) == 1 and a[0][0].startswith("_:b")
+    assert a != b  # same labels in different documents stay distinct
+    # within one document the label is stable
+    doc2 = {"@context": {"p": EX + "p", "q": EX + "q"},
+            "@id": "_:x", "p": {"@id": "_:x"}}
+    (r,) = rows(doc2, scope="s")
+    assert r[0] == r[2]
+
+
+def test_set_object_flattens():
+    doc = {"@context": {"p": EX + "p"}, "@id": EX + "a",
+           "p": {"@set": ["u", "v"]}}
+    assert spo(doc) == {(f"<{EX}a>", f"<{EX}p>", nt.lit(u)) for u in ("u", "v")}
+
+
+def test_null_term_and_null_values_dropped():
+    doc = {"@context": {"p": EX + "p", "gone": None}, "@id": EX + "a",
+           "p": None, "gone": "x"}
+    assert rows(doc) == []
+
+
+def test_remote_context_raises():
+    with pytest.raises(ValueError):
+        rows({"@context": "http://schema.org/", "@id": EX + "a"})
+
+
+def test_context_array_merging():
+    doc = {
+        "@context": [{"a": EX + "a1"}, {"b": EX + "b1", "a": EX + "a2"}],
+        "@id": EX + "x",
+        "a": "1", "b": "2",
+    }
+    assert spo(doc) == {
+        (f"<{EX}x>", f"<{EX}a2>", nt.lit("1")),
+        (f"<{EX}x>", f"<{EX}b1>", nt.lit("2")),
+    }
+
+
+def test_forward_reference_between_terms():
+    doc = {
+        "@context": {"label": "rdfs:label",
+                     "rdfs": "http://www.w3.org/2000/01/rdf-schema#"},
+        "@id": EX + "a",
+        "label": "t",
+    }
+    assert spo(doc) == {
+        (f"<{EX}a>", "<http://www.w3.org/2000/01/rdf-schema#label>",
+         nt.lit("t")),
+    }
+
+
+def test_legacy_default_vocab_for_unmapped_terms():
+    assert spo({"@id": EX + "a", "name": "x"}) == {
+        (f"<{EX}a>", "<urn:ndjsonld:name>", nt.lit("x")),
+    }

@@ -636,9 +636,19 @@ class _Parser:
         if kind == "lit":
             return nt.lit(term[1], lang=term[2], dtype=term[3])
         if kind == "num":
-            return nt.lit(term[1])
+            # SPARQL grammar typing: INTEGER -> xsd:integer, DECIMAL ->
+            # xsd:decimal, DOUBLE -> xsd:double — a pattern/VALUES literal
+            # 30 must equi-match the stored term "30"^^xsd:integer
+            v = term[1].lstrip("+")
+            if re.fullmatch(r"-?\d+", v):
+                dt = nt.XSD + "integer"
+            elif "e" in v.lower():
+                dt = nt.XSD + "double"
+            else:
+                dt = nt.XSD + "decimal"
+            return nt.lit(v, dtype=dt)
         if kind == "bool":
-            return nt.lit("true" if term[1] else "false")
+            return nt.lit("true" if term[1] else "false", dtype=nt.XSD + "boolean")
         raise ValueError(f"not a constant term: {term}")
 
     # -- expressions (precedence climbing)
@@ -999,14 +1009,27 @@ class _Planner:
         df = flush_values(df)
         if df is None:
             raise ValueError("SPARQL: empty group pattern")
-        for f in filters:  # FILTER scopes over the whole group
-            if f[0] == "exists":
-                df = A.exists_filter(
-                    df, self.eval_group(f[1]), negate=f[2], wildcard_cols=maybe_unbound
-                )
-            else:
-                col, k = self.eval_expr(f, df)
-                df = df.filter(E.filter_cond(self.to_bool(col, k)))
+        def conjuncts(f):
+            """Split top-level && so EXISTS conjuncts can be planned as
+            semi/anti joins alongside ordinary boolean conjuncts —
+            FILTER(A && EXISTS {...}) is the common nested-EXISTS form
+            (the official suite's exists-within-expression cases)."""
+            if f[0] == "and":
+                return conjuncts(f[1]) + conjuncts(f[2])
+            if f[0] == "not" and f[1][0] == "exists":
+                inner = f[1]
+                return [("exists", inner[1], not inner[2])]
+            return [f]
+
+        for f0 in filters:  # FILTER scopes over the whole group
+            for f in conjuncts(f0):
+                if f[0] == "exists":
+                    df = A.exists_filter(
+                        df, self.eval_group(f[1]), negate=f[2], wildcard_cols=maybe_unbound
+                    )
+                else:
+                    col, k = self.eval_expr(f, df)
+                    df = df.filter(E.filter_cond(self.to_bool(col, k)))
         if report_unbound is not None:
             report_unbound.update(maybe_unbound)
         return df
@@ -1409,7 +1432,11 @@ class _Planner:
             b, kb = self.eval_expr(e[3], df)
             na, nb = self.to_num(a, ka), self.to_num(b, kb)
             op = e[1]
-            col = {"+": na + nb, "-": na - nb, "*": na * nb, "/": na / nb}[op]
+            # try_divide: x/0 is a SPARQL evaluation error (-> unbound /
+            # filter-false), not a job abort — ANSI mode even folds a
+            # constant 1/0 into a PLAN-time exception otherwise
+            col = {"+": na + nb, "-": na - nb, "*": na * nb,
+                   "/": F.try_divide(na, nb)}[op]
             return col, _EXPR_NUM
         if kind == "call":
             return self.eval_call(e[1], e[2], df)
@@ -1478,6 +1505,32 @@ class _Planner:
         def n(i):
             return self.to_num(*ev[i])
 
+        def sl(i):
+            """String value of arg i with the §17.4.3 'string literal'
+            requirement: a term that is an IRI, bnode, or literal with a
+            non-string datatype is a TYPE ERROR (NULL), so e.g.
+            STRSTARTS(?age, "2") on "30"^^xsd:integer is an error->false,
+            matching RDF4J's QueryEvaluationException behavior."""
+            col, kind = ev[i]
+            if kind != _EXPR_TERM:
+                return self.to_str(col, kind)
+            ok = nt.nt_is_literal(col) & nt.nt_datatype(col).isin(
+                nt.XSD + "string", nt.RDF + "langString"
+            )
+            return F.when(ok, nt.nt_str(col))
+
+        def slang(i):
+            col, kind = ev[i]
+            if kind != _EXPR_TERM:
+                return F.lit("")
+            return nt.nt_lang(col)
+
+        def spair(i, j):
+            """Argument-compatible string pair (§17.4.1.5): second arg
+            must be language-less or share the first's tag, else error."""
+            compat = (slang(j) == "") | (slang(i) == slang(j))
+            return F.when(compat, sl(i)), F.when(compat, sl(j))
+
         if name == "str":
             return self.to_str(*ev[0]), _EXPR_STR
         if name == "lang":
@@ -1508,32 +1561,45 @@ class _Planner:
             pat = s(1)
             if len(ev) > 2 and args[2][0] == "lit":
                 pat = F.concat(F.lit(f"(?{args[2][1]})"), pat)
-            return F.regexp_like(s(0), pat), _EXPR_BOOL
+            return F.regexp_like(sl(0), pat), _EXPR_BOOL
         if name == "strlen":
-            return F.length(s(0)), _EXPR_NUM
+            return F.length(sl(0)), _EXPR_NUM
         if name == "substr":
             start = n(1).cast("int")
             if len(ev) > 2:
-                return F.substr(s(0), start, n(2).cast("int")), _EXPR_STR
-            return F.substr(s(0), start), _EXPR_STR
+                return F.substr(sl(0), start, n(2).cast("int")), _EXPR_STR
+            return F.substr(sl(0), start), _EXPR_STR
         if name == "ucase":
-            return F.upper(s(0)), _EXPR_STR
+            return F.upper(sl(0)), _EXPR_STR
         if name == "lcase":
-            return F.lower(s(0)), _EXPR_STR
+            return F.lower(sl(0)), _EXPR_STR
         if name == "strstarts":
-            return s(0).startswith(s(1)), _EXPR_BOOL
+            a, b = spair(0, 1)
+            return a.startswith(b), _EXPR_BOOL
         if name == "strends":
-            return s(0).endswith(s(1)), _EXPR_BOOL
+            a, b = spair(0, 1)
+            return a.endswith(b), _EXPR_BOOL
         if name == "contains":
-            return s(0).contains(s(1)), _EXPR_BOOL
+            a, b = spair(0, 1)
+            return a.contains(b), _EXPR_BOOL
         if name == "strbefore":
-            pos = F.position(s(1), s(0))
-            return F.when(pos > 0, F.substr(s(0), F.lit(1), pos - 1)).otherwise(F.lit("")), _EXPR_STR
+            a, b = spair(0, 1)
+            pos = F.position(b, a)
+            return F.when(pos > 0, F.substr(a, F.lit(1), pos - 1)).otherwise(
+                F.when(a.isNotNull() & b.isNotNull(), F.lit(""))), _EXPR_STR
         if name == "strafter":
-            pos = F.position(s(1), s(0))
-            return F.when(pos > 0, F.substr(s(0), pos + F.length(s(1)))).otherwise(F.lit("")), _EXPR_STR
+            a, b = spair(0, 1)
+            pos = F.position(b, a)
+            return F.when(pos > 0, F.substr(a, pos + F.length(b))).otherwise(
+                F.when(a.isNotNull() & b.isNotNull(), F.lit(""))), _EXPR_STR
         if name == "encode_for_uri":
-            return F.url_encode(s(0)), _EXPR_STR
+            # fn:encode-for-uri percent-encodes (RFC 3986 unreserved kept);
+            # url_encode is form-encoding, so fix up its three deviations
+            e = F.url_encode(sl(0))
+            e = F.replace(e, F.lit("+"), F.lit("%20"))
+            e = F.replace(e, F.lit("*"), F.lit("%2A"))
+            e = F.replace(e, F.lit("%7E"), F.lit("~"))
+            return e, _EXPR_STR
         if name == "concat":
             return F.concat(*[s(i) for i in range(len(ev))]), _EXPR_STR
         if name == "replace":
@@ -1542,11 +1608,13 @@ class _Planner:
             pat = s(1)
             if len(ev) > 3 and args[3][0] == "lit":
                 pat = F.concat(F.lit(f"(?{args[3][1]})"), pat)
-            return F.regexp_replace(s(0), pat, s(2)), _EXPR_STR
+            return F.regexp_replace(sl(0), pat, s(2)), _EXPR_STR
         if name == "abs":
             return F.abs(n(0)), _EXPR_NUM
         if name == "round":
-            return F.round(n(0), 0), _EXPR_NUM
+            # fn:round: the half case rounds toward POSITIVE infinity
+            # (round(-2.5) = -2), unlike half-away-from-zero F.round
+            return F.floor(n(0) + F.lit(0.5)).cast("double"), _EXPR_NUM
         if name == "ceil":
             return F.ceil(n(0)).cast("double"), _EXPR_NUM
         if name == "floor":
@@ -1605,11 +1673,15 @@ class _Planner:
         col, k = self.eval_expr(args[0], df)
         if name in ("sum", "avg"):
             val = self.to_num(col, k)
+            if name == "sum":
+                agg = F.sum_distinct(val) if distinct else F.sum(val)
+                # Sum({}) = 0 (§18.5.1.5): only the empty GLOBAL group has
+                # count 0 (groupBy never yields empty groups), so this
+                # cannot mask an all-errors group, which keeps NULL
+                return F.when(F.count(F.lit(1)) == 0, F.lit(0.0)).otherwise(agg)
             if distinct:
-                if name == "sum":
-                    return F.sum_distinct(val)
                 return F.sum_distinct(val) / F.count_distinct(val)
-            return F.sum(val) if name == "sum" else F.avg(val)
+            return F.avg(val)
         if name in ("min", "max"):
             if k == _EXPR_TERM:
                 # compare by the SPARQL order key but RETURN the term, so the
@@ -1883,7 +1955,9 @@ def sparql_query(
 
     if q.form == "construct":
         def col_of(term):
-            return F.col(term[1]) if term[0] == "var" else F.lit(_Parser.term_lexical(term))
+            if term[0] == "var":
+                return _var_as_term(df, term[1])
+            return F.lit(_Parser.term_lexical(term))
 
         templates = [
             {"subj": col_of(s), "pred": col_of(p), "obj": col_of(o)}
@@ -2039,11 +2113,56 @@ def _template_quads(elems: list, default_ctx=None) -> list:
     return quads
 
 
+def _var_as_term(df: DataFrame, name: str) -> Column:
+    """Bound-variable column -> N-Triples term column for template
+    instantiation (CONSTRUCT / update templates).  Pattern-bound
+    variables already hold lexical terms (string); BIND-computed values
+    carry native Spark types and MUST be serialized here — a raw double
+    column unioned with the string snapshot makes ANSI Spark cast every
+    stored term to double and abort the job.  The engine's numeric tower
+    is double, so an integral value renders as xsd:integer (SPARQL
+    arithmetic preserves integer for integer inputs)."""
+    dtype = (
+        df.schema[name].dataType.simpleString() if name in df.columns else "string"
+    )
+    col = F.col(name)
+    if dtype == "string":
+        return col
+    if dtype == "boolean":
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit('"'), col.cast("string"),
+                     F.lit(f'"^^<{nt.XSD}boolean>')),
+        )
+    if dtype in ("double", "float"):
+        i = col.try_cast("long")
+        return F.when(
+            col.isNotNull(),
+            F.when(
+                i.isNotNull() & (i.cast("double") == col),
+                F.concat(F.lit('"'), i.cast("string"),
+                         F.lit(f'"^^<{nt.XSD}integer>')),
+            ).otherwise(
+                F.concat(F.lit('"'), col.cast("string"),
+                         F.lit(f'"^^<{nt.XSD}double>'))
+            ),
+        )
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit('"'), col.cast("string"),
+                     F.lit(f'"^^<{nt.XSD}integer>')),
+        )
+    return col.cast("string")
+
+
 def _instantiate(bound: DataFrame, quads: list) -> DataFrame:
     def c(term):
         if term is None:
             return F.lit(None).cast("string")
-        return F.col(term[1]) if term[0] == "var" else F.lit(_Parser.term_lexical(term))
+        if term[0] == "var":
+            return _var_as_term(bound, term[1])
+        return F.lit(_Parser.term_lexical(term))
 
     parts = [
         bound.select(

@@ -387,9 +387,13 @@ def q_kg_triples(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (ops/dedup.embedding_cosine_pairs):
-    exact all-pairs baseline here (oracle-matchable); the LSH-bucketed
-    scale path is recall-tested vs this in pytest."""
+    """Embedding-cosine near-dup pairs (ops/dedup.embedding_cosine_pairs).
+
+    method="exact" here ONLY because the DuckDB oracle must be the
+    deterministic all-pairs baseline — it is NOT the blessed path.  The
+    production default is method="lsh" (multi-table random-hyperplane
+    bucketing, bucket equi-join, no cross product), recall>=0.8 gated
+    vs this exact baseline in tests/test_ops.py; use that at scale."""
     return D.embedding_cosine_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.40, method="exact"
     )
@@ -445,6 +449,85 @@ def q_turtle_load(spark, sf_dir):
         f.write("\n".join(doc))
     try:
         out = read_turtle(spark, path).select("subj", "pred", "obj")
+        out = spark.createDataFrame(out.collect(), out.schema)  # pin before unlink
+    finally:
+        os.unlink(path)
+    return out
+
+
+def q_trix_load(spark, sf_dir):
+    """TriX file source (sources/trix.py; the reference special-cases
+    TriX among its RIO bulk-load formats, HalyardBulkLoad.java:130-137):
+    serialize the region table as a TriX document with a NAMED graph —
+    plain and typed literals — then parse it back through the
+    extension-dispatched reader, ctx column included."""
+    import os
+    import tempfile
+
+    from halyard_spark.sources.rio import read_rdf
+
+    rows = sorted(
+        (r["r_regionkey"], r["r_name"])
+        for r in _t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    )
+    doc = ['<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">',
+           "<graph>", "<uri>urn:g:regions</uri>"]
+    for key, name in rows:
+        doc += [
+            "<triple>",
+            f"<uri>urn:region:{key}</uri><uri>urn:p:name</uri>"
+            f"<plainLiteral>{name}</plainLiteral>",
+            "</triple>",
+            "<triple>",
+            f"<uri>urn:region:{key}</uri><uri>urn:p:key</uri>"
+            f'<typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">{key}</typedLiteral>',
+            "</triple>",
+        ]
+    doc += ["</graph>", "</TriX>"]
+    fd, path = tempfile.mkstemp(
+        prefix=f"halyard_trix_load_{os.getpid()}_", suffix=".trix"
+    )
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(doc))
+    try:
+        out = read_rdf(spark, path).select("subj", "pred", "obj", "ctx")
+        out = spark.createDataFrame(out.collect(), out.schema)  # pin before unlink
+    finally:
+        os.unlink(path)
+    return out
+
+
+def q_rdfxml_load(spark, sf_dir):
+    """RDF/XML file source (sources/rdfxml.py; RIO format dispatch
+    HalyardBulkLoad.java:251-259): serialize the region table as RDF/XML
+    typed-node elements with plain + datatyped property elements, then
+    parse back.  Emits the same triple set as turtle_load, so the two
+    sources cross-check each other against one oracle shape."""
+    import os
+    import tempfile
+
+    from halyard_spark.sources.rio import read_rdf
+
+    rows = sorted(
+        (r["r_regionkey"], r["r_name"])
+        for r in _t(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    )
+    doc = ['<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:p="urn:p:">']
+    for key, name in rows:
+        doc += [
+            f'<p:Region rdf:about="urn:region:{key}">',
+            f"<p:name>{name}</p:name>",
+            f'<p:key rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">{key}</p:key>',
+            "</p:Region>",
+        ]
+    doc.append("</rdf:RDF>")
+    fd, path = tempfile.mkstemp(
+        prefix=f"halyard_rdfxml_load_{os.getpid()}_", suffix=".rdf"
+    )
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(doc))
+    try:
+        out = read_rdf(spark, path).select("subj", "pred", "obj")
         out = spark.createDataFrame(out.collect(), out.schema)  # pin before unlink
     finally:
         os.unlink(path)
@@ -1159,6 +1242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new round-4 surface
     "turtle_load": q_turtle_load,
     "jsonld_load": q_jsonld_load,
+    "trix_load": q_trix_load,
+    "rdfxml_load": q_rdfxml_load,
     "mvcc_resolve": q_mvcc_resolve,
     "dedup_embedding": q_dedup_embedding,
     # --- remaining catalog
@@ -1534,6 +1619,28 @@ ORACLES: dict[str, str] = {
         WHERE NOT (c_custkey % 3 = 0 AND c_custkey % 6 <> 0)
     """,
     "turtle_load": """
+        WITH r AS (SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS n FROM region)
+        SELECT '<urn:region:' || k || '>' AS subj,
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+               '<urn:p:Region>' AS obj
+        FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:name>', '"' || n || '"' FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:key>',
+               '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM r
+    """,
+    "trix_load": """
+        WITH r AS (SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS n FROM region)
+        SELECT '<urn:region:' || k || '>' AS subj, '<urn:p:name>' AS pred,
+               '"' || n || '"' AS obj, '<urn:g:regions>' AS ctx
+        FROM r
+        UNION ALL
+        SELECT '<urn:region:' || k || '>', '<urn:p:key>',
+               '"' || k || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+               '<urn:g:regions>' FROM r
+    """,
+    "rdfxml_load": """
         WITH r AS (SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS n FROM region)
         SELECT '<urn:region:' || k || '>' AS subj,
                '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,

@@ -199,13 +199,27 @@ def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs)
 
 
-def multi_projection(df: DataFrame, templates: list[dict[str, Column]]) -> DataFrame:
+def multi_projection(
+    df: DataFrame, templates: list[dict[str, Column]], drop_incomplete: bool = False
+) -> DataFrame:
     """MultiProjection (CONSTRUCT templates): one input row -> N projected
-    rows (HTEE:293-319), with duplicate suppression."""
+    rows (HTEE:293-319), with duplicate suppression.
+
+    drop_incomplete: CONSTRUCT semantics (§16.2) — a projected row with
+    any NULL component (unbound template variable) or an ill-formed
+    triple (literal subject, non-IRI predicate) is omitted."""
     cols = list(templates[0].keys())
     structs = [F.struct(*[t[c].alias(c) for c in cols]) for t in templates]
     exploded = df.select(F.explode(F.array(*structs)).alias("_t"))
-    return exploded.select(*[F.col(f"_t.{c}").alias(c) for c in cols]).dropDuplicates()
+    out = exploded.select(*[F.col(f"_t.{c}").alias(c) for c in cols])
+    if drop_incomplete:
+        for c in cols:
+            out = out.where(F.col(c).isNotNull())
+        if {"subj", "pred"} <= set(cols):
+            out = out.where(
+                ~F.col("subj").startswith('"') & F.col("pred").startswith("<")
+            )
+    return out.dropDuplicates()
 
 
 def exists_filter(

@@ -954,7 +954,17 @@ class _Planner:
                 self.graph = el[1]
                 sub_unbound = set()
                 try:
-                    sub = self.eval_group(el[2], report_unbound=sub_unbound)
+                    if not el[2] and el[1][0] == "var":
+                        # GRAPH ?g {} = μ0 once per named graph in the
+                        # dataset, ?g bound to the graph name — the
+                        # standard list-the-graphs idiom
+                        sub = (
+                            self._scoped()
+                            .select(F.col("ctx").alias(el[1][1]))
+                            .distinct()
+                        )
+                    else:
+                        sub = self.eval_group(el[2], report_unbound=sub_unbound)
                 finally:
                     self.graph = prev
                 df = join_part(df, sub, part_unbound=sub_unbound)
@@ -966,7 +976,9 @@ class _Planner:
             elif kind == "optional":
                 df = flush_values(df)
                 if df is None:
-                    raise ValueError("SPARQL: OPTIONAL with no preceding pattern")
+                    # group starts with OPTIONAL: LeftJoin(μ0, P) — the
+                    # optional's solutions, or μ0 alone if it's empty
+                    df = self._unit()
                 before = set(df.columns)
                 sub_unbound = set()
                 right = self.eval_group(el[1], report_unbound=sub_unbound)
@@ -980,7 +992,9 @@ class _Planner:
             elif kind == "minus":
                 df = flush_values(df)
                 if df is None:
-                    raise ValueError("SPARQL: MINUS with no preceding pattern")
+                    # group starts with MINUS: Minus(μ0, P) keeps μ0 —
+                    # dom(μ0) is disjoint from every right solution
+                    df = self._unit()
                 sub_unbound = set()
                 right = self.eval_group(el[1], report_unbound=sub_unbound)
                 df = A.minus(df, right, wildcard_cols=maybe_unbound | sub_unbound)
@@ -988,6 +1002,12 @@ class _Planner:
                 df = flush_values(df)  # BIND reads in-scope bindings, incl. a leading VALUES
                 if df is None:
                     df = self._unit()  # { BIND(...) ... } extends the empty solution
+                if el[2] in df.columns:
+                    # §10.1: the BIND target must not be in-scope from the
+                    # preceding elements of the group (a static error)
+                    raise SyntaxError(
+                        f"SPARQL: BIND would rebind in-scope variable ?{el[2]}"
+                    )
                 col, _k = self.eval_expr(el[1], df)
                 df = df.withColumn(el[2], E.bind_safe(col))
                 maybe_unbound.add(el[2])  # expression errors -> unbound
@@ -1008,7 +1028,10 @@ class _Planner:
                 raise ValueError(f"SPARQL: unhandled group element {kind}")
         df = flush_values(df)
         if df is None:
-            raise ValueError("SPARQL: empty group pattern")
+            # `WHERE {}` / `{}`: the empty group pattern evaluates to the
+            # multiset holding exactly the empty solution mapping μ0
+            # (SPARQL 1.1 §18.5 — BGP() over any graph), not an error
+            df = self._unit()
         def conjuncts(f):
             """Split top-level && so EXISTS conjuncts can be planned as
             semi/anti joins alongside ordinary boolean conjuncts —
@@ -1389,6 +1412,10 @@ class _Planner:
     def eval_expr(self, e, df: DataFrame) -> tuple[Column, str]:
         kind = e[0]
         if kind == "var":
+            if e[1] not in df.columns:
+                # a variable with no binding in scope evaluates as UNBOUND
+                # (an expression error -> NULL), never an analysis crash
+                return F.lit(None).cast("string"), _EXPR_TERM
             return F.col(e[1]), _EXPR_TERM
         if kind == "havingref":  # pre-computed aggregate column (HAVING rewrite)
             return F.col(e[1]), e[2]
@@ -1421,6 +1448,8 @@ class _Planner:
             return self.eval_cmp(e[1], e[2], e[3], df), _EXPR_BOOL
         if kind == "in":
             a, ka = self.eval_expr(e[1], df)
+            if not e[2]:  # `?x IN ()` is false (so NOT IN () is true), §17.4.1.9
+                return F.lit(False), _EXPR_BOOL
             items = [self.eval_expr(i, df) for i in e[2]]
             conds = [self.eval_cmp_cols("=", (a, ka), it) for it in items]
             out = conds[0]
@@ -1517,7 +1546,14 @@ class _Planner:
             ok = nt.nt_is_literal(col) & nt.nt_datatype(col).isin(
                 nt.XSD + "string", nt.RDF + "langString"
             )
-            return F.when(ok, nt.nt_str(col))
+            # a term-kind column can hold a BARE value when the variable
+            # was BIND-bound from a string expression (the engine stores
+            # BIND results in their natural form, not N-Triples form) —
+            # such a value IS a simple string literal, not a type error
+            bare = ~(
+                col.startswith("<") | col.startswith("_:") | col.startswith('"')
+            )
+            return F.when(ok, nt.nt_str(col)).when(bare, col.cast("string"))
 
         def slang(i):
             col, kind = ev[i]
@@ -1560,7 +1596,9 @@ class _Planner:
             # (HalyardValueExprEvaluation.java:503-551)
             pat = s(1)
             if len(ev) > 2 and args[2][0] == "lit":
-                pat = F.concat(F.lit(f"(?{args[2][1]})"), pat)
+                pat = _flagged_pattern(pat, args[2][1])
+                if pat is None:  # invalid flag string -> evaluation error
+                    return F.lit(None).cast("boolean"), _EXPR_BOOL
             return F.regexp_like(sl(0), pat), _EXPR_BOOL
         if name == "strlen":
             return F.length(sl(0)), _EXPR_NUM
@@ -1607,7 +1645,9 @@ class _Planner:
             # replacement with inline-able flags, like REGEX
             pat = s(1)
             if len(ev) > 3 and args[3][0] == "lit":
-                pat = F.concat(F.lit(f"(?{args[3][1]})"), pat)
+                pat = _flagged_pattern(pat, args[3][1])
+                if pat is None:
+                    return F.lit(None).cast("string"), _EXPR_STR
             return F.regexp_replace(sl(0), pat, s(2)), _EXPR_STR
         if name == "abs":
             return F.abs(n(0)), _EXPR_NUM
@@ -1787,6 +1827,22 @@ class _Planner:
                     col, _k = self.eval_expr(ge, df)
                     df = df.withColumn(galias, E.bind_safe(col))
                     group_keys.append(galias)
+            # §18.2.4.1: in a grouped query every projected variable must
+            # be a group key or come from an aggregate — catch it here as
+            # a clean static error instead of a leaked AnalysisException
+            for alias, e in q.projections:
+                if e is None and alias not in group_keys:
+                    raise SyntaxError(
+                        f"SPARQL: ?{alias} is projected but neither grouped "
+                        "nor aggregated"
+                    )
+            for alias, e in post_exprs:
+                bad = _plain_vars(e) - set(group_keys)
+                if bad:
+                    raise SyntaxError(
+                        f"SPARQL: ?{sorted(bad)[0]} is used outside an "
+                        "aggregate in a grouped query"
+                    )
             for halias, agg_node in helper_cols:
                 aggs.append(self.agg_column(agg_node, df).alias(halias))
             df = A.group_agg(df, group_keys, aggs)
@@ -1851,6 +1907,21 @@ class _Planner:
         if report_unbound is not None:
             report_unbound.update(inner_unbound & set(df.columns))
         return df
+
+
+def _plain_vars(e) -> set:
+    """Variables referenced directly in an expression tree (after the
+    HAVING rewrite replaced aggregates with havingref nodes), i.e. the
+    ones that must be group keys for the expression to be legal."""
+    if isinstance(e, list):
+        return set().union(*[_plain_vars(x) for x in e]) if e else set()
+    if not isinstance(e, tuple):
+        return set()
+    if e[0] == "var":
+        return {e[1]}
+    if e[0] == "havingref":
+        return set()
+    return set().union(*[_plain_vars(x) for x in e[1:]], set())
 
 
 def _contains_agg(e) -> bool:
@@ -1956,6 +2027,19 @@ def sparql_query(
     if q.form == "construct":
         def col_of(term):
             if term[0] == "var":
+                if term[1].startswith("__bnode_") and term[1] not in df.columns:
+                    # template blank node: a FRESH bnode per solution
+                    # (§16.2.1) — deterministic content hash of the
+                    # label + the solution's bindings, so the same
+                    # solution always mints the same label (stable
+                    # across partitionings) and distinct solutions mint
+                    # distinct ones
+                    basis = F.concat_ws(
+                        "\x1f", F.lit(term[1]),
+                        *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                          for c in sorted(df.columns)],
+                    )
+                    return F.concat(F.lit("_:c"), F.sha1(basis))
                 return _var_as_term(df, term[1])
             return F.lit(_Parser.term_lexical(term))
 
@@ -1963,7 +2047,10 @@ def sparql_query(
             {"subj": col_of(s), "pred": col_of(p), "obj": col_of(o)}
             for _, s, p, o in q.template
         ]
-        out = A.multi_projection(df, templates)
+        # a solution that leaves any template variable unbound produces
+        # no triple for that template row (§16.2), and ill-formed triples
+        # (literal subject, non-IRI predicate) are likewise omitted
+        out = A.multi_projection(df, templates, drop_incomplete=True)
         if q.offset or q.limit is not None:
             out = A.slice_rows(out, offset=q.offset, limit=q.limit)
         return out
@@ -2113,6 +2200,24 @@ def _template_quads(elems: list, default_ctx=None) -> list:
     return quads
 
 
+def _flagged_pattern(pat: Column, flags: str) -> Column | None:
+    """Apply XPath regex flags to a pattern column.  s/m/i/x map to Java
+    inline flags; q wraps the pattern in \\Q..\\E (literal match — Java
+    has no inline form; a pattern containing a literal ``\\E`` is the one
+    documented blind spot).  An unknown flag letter is an evaluation
+    error (XPath err:FORX0001) — the caller turns the None into NULL
+    (unbound / filter-false) instead of letting Spark abort the job on
+    an invalid ``(?...)`` group."""
+    if not set(flags) <= set("smixq"):
+        return None
+    if "q" in flags:
+        pat = F.concat(F.lit("\\Q"), pat, F.lit("\\E"))
+        flags = flags.replace("q", "")
+    if flags:
+        pat = F.concat(F.lit(f"(?{flags})"), pat)
+    return pat
+
+
 def _var_as_term(df: DataFrame, name: str) -> Column:
     """Bound-variable column -> N-Triples term column for template
     instantiation (CONSTRUCT / update templates).  Pattern-bound
@@ -2122,9 +2227,11 @@ def _var_as_term(df: DataFrame, name: str) -> Column:
     stored term to double and abort the job.  The engine's numeric tower
     is double, so an integral value renders as xsd:integer (SPARQL
     arithmetic preserves integer for integer inputs)."""
-    dtype = (
-        df.schema[name].dataType.simpleString() if name in df.columns else "string"
-    )
+    if name not in df.columns:
+        # a template variable with no binding anywhere in the WHERE
+        # result: always unbound -> the template row is dropped
+        return F.lit(None).cast("string")
+    dtype = df.schema[name].dataType.simpleString()
     col = F.col(name)
     if dtype == "string":
         return col

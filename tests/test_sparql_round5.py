@@ -125,3 +125,31 @@ def test_union_both_branches_bind_var_stays_equijoin(store):
         (iri("a1"), iri("x1"), iri("z1")),
         (iri("s1"), iri("x1"), iri("z1")),
     ])
+
+
+def test_construct_template_bnode_fresh_per_solution(store):
+    # §16.2.1: a blank node in the CONSTRUCT template mints a FRESH bnode
+    # for every solution — distinct solutions get distinct labels, and
+    # both template rows of one solution share the same label
+    out = sparql_query(store, PREFIXES + """
+        CONSTRUCT { _:who ex:saw ?s . _:who ex:via ?p }
+        WHERE { ?s ?p ?o . FILTER(?p IN (ex:p1, ex:p2)) }""")
+    got = [tuple(r) for r in out.collect()]
+    subjects = {s for s, _, _ in got}
+    assert all(s.startswith("_:") for s in subjects)
+    # one fresh bnode per solution, shared across that solution's rows
+    by_subj = {}
+    for s, p, o in got:
+        by_subj.setdefault(s, set()).add(p)
+    assert all(preds == {iri("saw"), iri("via")} for preds in by_subj.values())
+    assert len(subjects) == len(got) // 2
+
+
+def test_construct_repeatable_bnode_labels(store):
+    # the minted labels are content-derived: re-running the same query
+    # over the same store yields the identical triple set (stable across
+    # partitionings — required for the driver's hash comparison)
+    q = PREFIXES + "CONSTRUCT { _:b ex:of ?s } WHERE { ?s ex:p1 ?o }"
+    a = sorted(tuple(r) for r in sparql_query(store, q).collect())
+    b = sorted(tuple(r) for r in sparql_query(store, q).collect())
+    assert a == b and len(a) > 0

@@ -74,6 +74,12 @@ def test_w3c_case(spark, case):
                 _Parser(tokenize_sparql(text)).parse()
         return
     data = load_nquads(spark, W3C_DIR / case["data"])
+    if case.get("type") == "negative-eval":
+        # a static error the grammar alone cannot catch (BIND in-scope
+        # rebind, projecting an ungrouped variable): planning must raise
+        with pytest.raises(SyntaxError):
+            sparql_query(data, (W3C_DIR / case["query"]).read_text())
+        return
     if "update" in case:  # update manifest entry: mutate, then verify
         data = sparql_update(data, (W3C_DIR / case["update"]).read_text())
     query = (W3C_DIR / case["query"]).read_text()

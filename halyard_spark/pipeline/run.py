@@ -150,7 +150,9 @@ def run_pipeline(
     # made cached scans 2-3x SLOWER than parquet re-reads at 23M quads.
     store_dir = f"{out_dir}/store"
     spo_path = f"{store_dir}/spo"
-    n_mirror = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # AQE-sized mirrors: partition count tracks triple volume (see
+    # materialize.write_sorted) instead of the session's core count
+    n_mirror = None
 
     t0 = time.time()
     resumed_tail = resume and lineage.stage_done(spark, out_dir, "triples", stage_fp["fp"], spo_path)

@@ -79,12 +79,31 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
+    # Shuffle WIDTH must scale with data volume, not core count: with the
+    # pre-coalesce width pinned to #cores, a 20x corpus pushes ~20x rows
+    # through each sort/join partition and tips every shuffle into
+    # external-sort spill (measured 4-5x/unit super-linear stage walls at
+    # the sf1.0 rehearsal).  AQE's coalescing makes width adaptive in ONE
+    # direction only — down — so start every shuffle WIDE and let AQE
+    # merge small partitions to the advisory size; a sf0.01 test run
+    # coalesces back to a handful of partitions while a 100-TB run keeps
+    # thousands.  This mirrors the standard cluster guidance: set
+    # initialPartitionNum high and let AQE right-size per query.
+    initial_partitions = int(
+        os.environ.get(
+            "SPARK_GRAFT_INITIAL_PARTITIONS", str(max(32 * shuffle_partitions, 1024))
+        )
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 def transitive_closure(
     edges: DataFrame,
     min_length: int = 1,
-    max_iter: int = 64,
+    max_iter: int = 10_000,  # HOP budget (graph diameter), not doubling rounds
     nodes: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> all (src, dst) pairs connected by a directed
@@ -34,6 +34,19 @@ def transitive_closure(
     ``p+`` forms); for a bound-source query or min_length >= 2, use
     :func:`reachable_from`, which seeds from the bound side instead of
     materializing the whole-graph closure.
+
+    Algorithm: frontier BFS seeded from EVERY source node (the same
+    batched-hop engine as :func:`reachable_from`), NOT closure-squaring
+    path doubling.  Doubling looks attractive (log2(diameter) rounds)
+    but its self-join emits every pair once per midpoint — on the sf1.0
+    rehearsal's 50-chains that was ~50M duplicate rows per late round
+    (O(n·d²) intermediate volume), measured 63x the sf0.1 wall for 10x
+    the input, dominated by shuffle-write + GC of rows the distinct
+    then discarded.  BFS discovers each closure pair exactly ONCE
+    (anti-join against the accumulated result), so total join volume is
+    O(|closure|); ceil(diameter / hops_per_round) driver actions buy
+    that linearity — the right trade at any scale where the closure
+    itself is materializable.
     """
     if min_length not in (0, 1):
         raise ValueError(
@@ -41,27 +54,8 @@ def transitive_closure(
             "(use reachable_from for longer minimum paths)"
         )
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    closure = edges
-    prev_n = closure.count()
-    for _ in range(max_iter):
-        # path DOUBLING: join the closure with itself, so reachable path
-        # length doubles per round — log2(diameter) rounds instead of the
-        # reference's row-at-a-time PathIteration (or a 1-hop BFS that
-        # needs diameter rounds: a 50-node chain = 49 sequential shuffles).
-        # Convergence by count: union+distinct+count is ONE job per round
-        # (the count materializes the lazy checkpoint); a separate
-        # anti-join "new edges" test costs an extra shuffle + action.
-        stepped = (
-            closure.withColumnRenamed("dst", "mid")
-            .join(closure.withColumnRenamed("src", "mid"), "mid")
-            .select("src", "dst")
-        )
-        nxt = closure.union(stepped).distinct().localCheckpoint(eager=False)
-        n = nxt.count()
-        closure = nxt
-        if n == prev_n:
-            break
-        prev_n = n
+    sources = edges.select("src").distinct()
+    closure = reachable_from(edges, sources, min_length=1, max_iter=max_iter)
     if min_length == 0:
         if nodes is None:
             nodes = edges.select(F.col("src").alias("n")).union(
@@ -103,18 +97,43 @@ def reachable_from(
     work (never a whole-graph closure), but a diameter-D traversal costs
     ceil(D / hops_per_round) driver actions instead of D — on
     latency-bound deep chains this is a ~hops_per_round× wall-clock win.
-    Intra-round frontiers dedup per hop; revisits across the round are
-    dropped at the round-end anti-join, so cyclic graphs stay bounded.
+    Revisits across the round are dropped at the round-end anti-join, so
+    cyclic graphs stay bounded.
+
+    Join strategy: a checkpointed edge RDD carries NO size statistics,
+    so Catalyst defaults every hop to a sort-merge join — two exchanges
+    + two sorts per hop, ~10 scheduled shuffles per round, which
+    dominates wall clock on deep graphs (measured: fixed ~0.6 s per
+    shuffle stage regardless of data size).  The edge count is known
+    (the eager checkpoint just materialized it), so hops BROADCAST the
+    edge table whenever its estimated size fits the session's
+    autoBroadcastJoinThreshold: every hop becomes a narrow broadcast-
+    hash join, the whole multi-hop chain fuses into ONE codegen stage,
+    and per-hop dedup is deferred to the round-end aggregation (the
+    broadcast hops are so cheap that intra-round duplicate carriage is
+    cheaper than a shuffle per hop).  Edge sets above the threshold keep
+    the shuffle join WITH per-hop distinct — at that scale data volume,
+    not scheduling latency, is the budget.
     """
     if min_length < 0:
         raise ValueError(f"min_length must be >= 0; got {min_length}")
     if hops_per_round < 1:
         raise ValueError(f"hops_per_round must be >= 1; got {hops_per_round}")
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()  # free: the checkpoint is materialized
+    spark = edges.sparkSession
+    try:
+        bcast_limit = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        bcast_limit = 64 * 1024 * 1024
+    # ~128 B/row covers a pair of typical IRI terms; err toward NOT
+    # broadcasting (a too-big broadcast OOMs, a missed one just shuffles)
+    broadcast_edges = 0 <= n_edges * 128 <= bcast_limit
+    hop_edges = F.broadcast(edges) if broadcast_edges else edges
     seeds = sources.select(F.col("src").alias("root"), F.col("src").alias("node")).distinct()
     for _ in range(max(min_length - 1, 0)):
         seeds = (
-            seeds.join(edges, seeds.node == edges.src)
+            seeds.join(hop_edges, seeds.node == edges.src)
             .select("root", F.col("dst").alias("node"))
             .distinct()
             .localCheckpoint(eager=True)
@@ -128,11 +147,11 @@ def reachable_from(
         stepped = frontier
         parts = []
         for h in range(this_round):
-            stepped = (
-                stepped.join(edges, stepped.node == edges.src)
-                .select("root", F.col("dst").alias("node"))
-                .distinct()
+            stepped = stepped.join(hop_edges, stepped.node == edges.src).select(
+                "root", F.col("dst").alias("node")
             )
+            if not broadcast_edges:
+                stepped = stepped.distinct()
             parts.append(stepped.withColumn("__h", F.lit(h + 1)))
         acc = parts[0]
         for p in parts[1:]:

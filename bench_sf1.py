@@ -121,15 +121,21 @@ def main():
     print("queries at 10x:", flush=True)
     result["queries_10x"] = run_queries(spark)
 
-    md = [
-        "# sf1.0 rehearsal (10x the routine scaling corpus)",
-        "",
-        "One-shot confirmation that stage walls grow ~linearly from the",
-        "sf0.1-equivalent scale to ~230M triples; see bench_sf1.py for",
-        "the workload definitions (same operator code paths as the",
-        "catalog entries, inputs scaled 10x).",
-        "",
-    ]
+    path = os.path.join(REPO, "BENCH", "SF1_REHEARSAL.md")
+    if os.path.exists(path):
+        # A rehearsal record already exists (with its analysis); append
+        # this run as a dated re-run section instead of clobbering it.
+        md = ["", "## Re-run (after the shuffle-width / closure fixes)", ""]
+    else:
+        md = [
+            "# sf1.0 rehearsal (10x the routine scaling corpus)",
+            "",
+            "One-shot confirmation that stage walls grow ~linearly from the",
+            "sf0.1-equivalent scale to ~230M triples; see bench_sf1.py for",
+            "the workload definitions (same operator code paths as the",
+            "catalog entries, inputs scaled 10x).",
+            "",
+        ]
     pipe = result.get("pipeline")
     if pipe:
         md += [
@@ -149,7 +155,7 @@ def main():
         md.append(f"| {name} | {v['wall_sec']} | {v['rows']} |")
     md.append("")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SF1_REHEARSAL.md"), "w") as f:
+    with open(path, "a") as f:
         f.write("\n".join(md))
     print(json.dumps(result), flush=True)
 

@@ -71,7 +71,7 @@ def reachable_from(
     sources: DataFrame,
     min_length: int = 1,
     max_iter: int = 10_000,
-    hops_per_round: int = 4,
+    hops_per_round: int | None = None,
 ) -> DataFrame:
     """Bound-source property path: all (src, dst) with a directed path of
     length >= min_length from each src in ``sources`` (a one-column
@@ -93,7 +93,9 @@ def reachable_from(
     (ZeroLengthPath binds o = s regardless of graph membership).
 
     ``hops_per_round`` batches that many 1-hop joins into ONE Spark job
-    before the convergence action: each round is still frontier-sized
+    before the convergence action (``None`` = auto: up to 16 on
+    low-fanout broadcast-joined graphs, 4 otherwise): each round is
+    still frontier-sized
     work (never a whole-graph closure), but a diameter-D traversal costs
     ceil(D / hops_per_round) driver actions instead of D — on
     latency-bound deep chains this is a ~hops_per_round× wall-clock win.
@@ -109,15 +111,16 @@ def reachable_from(
     edge table whenever its estimated size fits the session's
     autoBroadcastJoinThreshold: every hop becomes a narrow broadcast-
     hash join, the whole multi-hop chain fuses into ONE codegen stage,
-    and per-hop dedup is deferred to the round-end aggregation (the
-    broadcast hops are so cheap that intra-round duplicate carriage is
-    cheaper than a shuffle per hop).  Edge sets above the threshold keep
-    the shuffle join WITH per-hop distinct — at that scale data volume,
-    not scheduling latency, is the budget.
+    and — when the graph's max out-degree keeps worst-case duplicate
+    carriage bounded — per-hop dedup is deferred to the round-end
+    aggregation (the broadcast hops are so cheap that bounded duplicate
+    carriage is cheaper than a shuffle per hop).  High-fanout or
+    above-threshold edge sets keep the per-hop distinct — at that scale
+    data volume, not scheduling latency, is the budget.
     """
     if min_length < 0:
         raise ValueError(f"min_length must be >= 0; got {min_length}")
-    if hops_per_round < 1:
+    if hops_per_round is not None and hops_per_round < 1:
         raise ValueError(f"hops_per_round must be >= 1; got {hops_per_round}")
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     n_edges = edges.count()  # free: the checkpoint is materialized
@@ -130,6 +133,36 @@ def reachable_from(
     # broadcasting (a too-big broadcast OOMs, a missed one just shuffles)
     broadcast_edges = 0 <= n_edges * 128 <= bcast_limit
     hop_edges = F.broadcast(edges) if broadcast_edges else edges
+    # Dedup-free carriage is gated on FANOUT, not just edge-table size:
+    # within a round a (root, node) pair is carried once per distinct
+    # path, bounded by max_out_degree^hops_per_round.  Chains/trees
+    # (degree <= 4) stay within a 256x worst-case and win by fusing the
+    # whole round into one codegen stage; a dense broadcast-sized graph
+    # (e.g. 1k near-complete nodes = 500k edges, fanout ~500) would carry
+    # 500^4 duplicate rows per frontier row — for those, keep the per-hop
+    # distinct (still broadcast-joined: the distinct costs one exchange
+    # vs sort-merge's two-exchanges-plus-sorts per hop).
+    if broadcast_edges and n_edges > 0:
+        max_deg = (
+            edges.groupBy("src").count().agg(F.max("count")).first()[0] or 0
+        )
+    else:
+        max_deg = None
+    if hops_per_round is None:
+        # Auto depth: dedup-free broadcast hops are near-free (one fused
+        # codegen stage regardless of depth), so fuse as many per driver
+        # round as the carriage bound allows — a diameter-49 chain then
+        # converges in ceil(49/16)=4 rounds instead of 13.  Shuffle-joined
+        # or high-fanout graphs stay at 4: there each hop is a real
+        # shuffle, and deeper rounds just defer the convergence check.
+        if max_deg is not None and 1 <= max_deg <= 4:
+            h = 16
+            while max_deg**h > 256:
+                h -= 1
+            hops_per_round = max(4, h)
+        else:
+            hops_per_round = 4
+    dedup_free = max_deg is not None and max_deg**hops_per_round <= 256
     seeds = sources.select(F.col("src").alias("root"), F.col("src").alias("node")).distinct()
     for _ in range(max(min_length - 1, 0)):
         seeds = (
@@ -150,7 +183,7 @@ def reachable_from(
             stepped = stepped.join(hop_edges, stepped.node == edges.src).select(
                 "root", F.col("dst").alias("node")
             )
-            if not broadcast_edges:
+            if not dedup_free:
                 stepped = stepped.distinct()
             parts.append(stepped.withColumn("__h", F.lit(h + 1)))
         acc = parts[0]

@@ -276,7 +276,14 @@ def hardware_controls() -> dict:
     bandwidth saturates between 8 and 32 threads (measured ~70-106 GB/s at
     8 vs ~136-144 GB/s at 32), so bandwidth-bound work is hardware-capped
     near 0.35-0.5 efficiency for the 8->32 proxy, while pure CPU reaches
-    ~0.6-0.94 depending on host-neighbor noise."""
+    ~0.6-0.94 depending on host-neighbor noise.
+
+    Each (control, level) takes the BEST of 3 repeats — the same
+    best-of-repeats policy as the pipeline legs.  A single sample can
+    land in a host-steal window (one published run measured the 8-thread
+    stream at 56.8 MB/s — three orders of magnitude under hardware —
+    because a concurrent test suite starved the pool); a best-of-3
+    control bounds that window the same way the legs it calibrates do."""
     import multiprocessing as mp
     import time as _t
 
@@ -284,11 +291,14 @@ def hardware_controls() -> dict:
     for name, fn, unit in (("cpu_spin", _control_spin, "iters/s"), ("mem_stream", _control_stream, "MB/s")):
         vals = {}
         for n in (8, 32):
-            with mp.Pool(n) as p:
-                t0 = _t.time()
-                r = p.map(fn, range(n))
-                el = _t.time() - t0
-            vals[n] = round(sum(r) / el, 1)
+            best = 0.0
+            for _ in range(3):
+                with mp.Pool(n) as p:
+                    t0 = _t.time()
+                    r = p.map(fn, range(n))
+                    el = _t.time() - t0
+                best = max(best, sum(r) / el)
+            vals[n] = round(best, 1)
         out[name] = {
             "at_8": vals[8],
             "at_32": vals[32],

@@ -49,6 +49,15 @@ def run_pipeline(
     """Run all stages; returns {stage: {rows, wall_ms, skipped}} + totals."""
     report: dict = {}
     t_start = time.time()
+    # shuffle width tracks THIS run's input volume (sf1.0 rehearsal: a
+    # core-count width spills every sort at 20x data; a blanket-wide
+    # initialPartitionNum costs 5-20x in task overhead at bench scale) —
+    # size once from the source bytes, before any stage plans a shuffle
+    from halyard_spark.session import adaptive_shuffle_width
+
+    width = adaptive_shuffle_width(spark, src)
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    report["_conf"] = {"shuffle_partitions": width}
     src_fp = lineage.fingerprint(src, ["repo", "path", "commit"])
 
     stage_fp = {"fp": src_fp}  # extract keys on the source; later stages on the chain

@@ -79,31 +79,25 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
-    # Shuffle WIDTH must scale with data volume, not core count: with the
-    # pre-coalesce width pinned to #cores, a 20x corpus pushes ~20x rows
-    # through each sort/join partition and tips every shuffle into
-    # external-sort spill (measured 4-5x/unit super-linear stage walls at
-    # the sf1.0 rehearsal).  AQE's coalescing makes width adaptive in ONE
-    # direction only — down — so start every shuffle WIDE and let AQE
-    # merge small partitions to the advisory size; a sf0.01 test run
-    # coalesces back to a handful of partitions while a 100-TB run keeps
-    # thousands.  This mirrors the standard cluster guidance: set
-    # initialPartitionNum high and let AQE right-size per query.
-    initial_partitions = int(
-        os.environ.get(
-            "SPARK_GRAFT_INITIAL_PARTITIONS", str(max(32 * shuffle_partitions, 1024))
-        )
-    )
+    # Shuffle WIDTH must scale with data volume, not core count — but NOT
+    # via a blanket-high initialPartitionNum: a 1024 default (tried after
+    # the sf1.0 spill rehearsal) turned every small-scale shuffle into
+    # ~1024 tiny tasks and cost 5-20x on shuffle-iterating stages (CC
+    # rounds, LSH band joins, the triples build) — scheduling and
+    # per-task overhead, not data, dominated.  Width is instead sized
+    # per JOB from the job's own input volume: run_pipeline calls
+    # adaptive_shuffle_width(...) and sets spark.sql.shuffle.partitions
+    # (a runtime conf) before its stages, so the sf1.0 corpus gets
+    # hundreds of sort partitions (no external-sort spill wall) while
+    # bench/test scales keep the core-count width that measured fastest.
+    # The env knob remains for experiments.
+    initial_partitions = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(initial_partitions),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -117,6 +111,11 @@ def get_spark(
         # SSDs per executor.  Keeps CPU scaling measurements honest.
         .config("spark.local.dir", _local_dir())
     )
+    if initial_partitions:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial_partitions,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -126,6 +125,48 @@ def get_spark(
     except Exception:
         pass  # already shipped in this context, or running from repo root
     return spark
+
+
+def adaptive_shuffle_width(spark: SparkSession, df, expansion: float = 4.0,
+                           target_mb: int = 128, cap: int = 4096) -> int:
+    """Shuffle width sized to a job's INPUT volume.
+
+    The sf1.0 rehearsal showed why width cannot be a session constant:
+    at 20x the routine corpus every sort/join partition crossed the
+    external-sort spill threshold (4-5x/unit super-linear stage walls),
+    while a blanket-wide initialPartitionNum made small runs 5-20x
+    slower in pure task overhead.  This sizes width from the bytes the
+    job will actually shuffle: on-disk input size (parquet footers via
+    inputFiles) times an ``expansion`` factor for decompression +
+    row-object overhead, divided into ``target_mb`` partitions, floored
+    at the session's core-count width and capped at ``cap``.  Callers
+    set ``spark.sql.shuffle.partitions`` (a runtime conf) with the
+    result before running their stages; AQE still coalesces the small
+    tail stages below it.
+    """
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = 0
+    try:
+        from urllib.parse import unquote, urlparse
+
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            path = unquote(p.path) if p.scheme in ("file", "") else None
+            if path and os.path.exists(path):
+                total += os.path.getsize(path)
+    except Exception:
+        total = 0
+    if total <= 0:
+        try:  # in-memory / non-file source: Catalyst's own size estimate
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            if 0 < est < (1 << 50):  # ignore the unknown-size sentinel
+                total = est // 4  # plan stats are uncompressed-row sizes
+        except Exception:
+            total = 0
+    if total <= 0:
+        return floor
+    width = int(total * expansion // (target_mb * 1024 * 1024)) + 1
+    return max(floor, min(cap, width))
 
 
 def stop_all() -> None:

@@ -1472,7 +1472,9 @@ class _Planner:
         if kind == "exists":
             raise ValueError("SPARQL: EXISTS is only supported as a top-level FILTER")
         if kind == "agg":
-            raise ValueError("SPARQL: aggregate outside SELECT/HAVING")
+            # a static scope error (nested aggregate, or an aggregate in
+            # FILTER/BIND), same class as the other §19.8 static checks
+            raise SyntaxError("SPARQL: aggregate outside SELECT/HAVING")
         raise ValueError(f"SPARQL: unhandled expression {kind}")
 
     def eval_cmp(self, op: str, left, right, df: DataFrame) -> Column:
@@ -1567,6 +1569,34 @@ class _Planner:
             compat = (slang(j) == "") | (slang(i) == slang(j))
             return F.when(compat, sl(i)), F.when(compat, sl(j))
 
+        def wrap_lang(res: Column, lg: Column) -> Column:
+            """§17.4.3 substring-based functions return a literal carrying
+            arg1's language tag: tagged rows get the N-Triples langString
+            form, untagged rows stay bare simple strings (the engine's
+            natural representation for derived string values)."""
+            return F.when(
+                res.isNotNull() & (lg != ""),
+                F.concat(F.lit('"'), nt.nt_escape(res), F.lit('"@'), lg),
+            ).otherwise(res)
+
+        def simple(i):
+            """Simple-literal argument (§17.4.2.5/6 STRLANG/STRDT): only a
+            literal with no language tag and datatype xsd:string (or a
+            bare derived string) is accepted; anything else is a type
+            error -> NULL, matching RDF4J's ValueExprEvaluationException."""
+            col, kind = ev[i]
+            if kind != _EXPR_TERM:
+                return self.to_str(col, kind)
+            ok = (
+                nt.nt_is_literal(col)
+                & (nt.nt_lang(col) == "")
+                & (nt.nt_datatype(col) == nt.XSD + "string")
+            )
+            bare = ~(
+                col.startswith("<") | col.startswith("_:") | col.startswith('"')
+            )
+            return F.when(ok, nt.nt_str(col)).when(bare, col.cast("string"))
+
         if name == "str":
             return self.to_str(*ev[0]), _EXPR_STR
         if name == "lang":
@@ -1574,6 +1604,21 @@ class _Planner:
         if name == "langmatches":
             return E.langmatches(s(0), s(1)), _EXPR_BOOL
         if name == "datatype":
+            col, kind = ev[0]
+            if kind == _EXPR_STR:  # a derived string IS a simple literal
+                return F.when(col.isNotNull(), F.lit(nt.XSD + "string")), _EXPR_STR
+            if kind == _EXPR_BOOL:
+                return F.when(col.isNotNull(), F.lit(nt.XSD + "boolean")), _EXPR_STR
+            if kind == _EXPR_TERM:
+                bare = ~(
+                    col.startswith("<") | col.startswith("_:") | col.startswith('"')
+                )
+                return (
+                    F.when(bare, F.lit(nt.XSD + "string")).otherwise(
+                        nt.nt_datatype(col)
+                    ),
+                    _EXPR_STR,
+                )
             return nt.nt_datatype(term(0)), _EXPR_STR
         if name == "bound":
             return term(0).isNotNull(), _EXPR_BOOL
@@ -1603,14 +1648,26 @@ class _Planner:
         if name == "strlen":
             return F.length(sl(0)), _EXPR_NUM
         if name == "substr":
-            start = n(1).cast("int")
+            # fn:substring semantics: characters at positions p with
+            # round(start) <= p < round(start) + round(length), 1-based —
+            # a zero/negative start clips from position 1 with the length
+            # budget consumed (substring("abcde", 0, 3) = "ab"), unlike
+            # SQL SUBSTR's treat-0-as-1 / count-from-the-end behaviors
+            start = F.floor(n(1) + F.lit(0.5)).cast("int")  # fn:round
+            lo = F.greatest(start, F.lit(1))
             if len(ev) > 2:
-                return F.substr(sl(0), start, n(2).cast("int")), _EXPR_STR
-            return F.substr(sl(0), start), _EXPR_STR
+                ln = F.floor(n(2) + F.lit(0.5)).cast("int")
+                eff = start + ln - lo  # end-exclusive minus clipped start
+                res = F.when(eff > 0, F.substr(sl(0), lo, eff)).otherwise(
+                    F.when(sl(0).isNotNull() & eff.isNotNull(), F.lit(""))
+                )
+            else:
+                res = F.substr(sl(0), lo)
+            return wrap_lang(res, slang(0)), _EXPR_TERM
         if name == "ucase":
-            return F.upper(sl(0)), _EXPR_STR
+            return wrap_lang(F.upper(sl(0)), slang(0)), _EXPR_TERM
         if name == "lcase":
-            return F.lower(sl(0)), _EXPR_STR
+            return wrap_lang(F.lower(sl(0)), slang(0)), _EXPR_TERM
         if name == "strstarts":
             a, b = spair(0, 1)
             return a.startswith(b), _EXPR_BOOL
@@ -1621,15 +1678,22 @@ class _Planner:
             a, b = spair(0, 1)
             return a.contains(b), _EXPR_BOOL
         if name == "strbefore":
+            # a match carries arg1's language tag; NO match returns the
+            # empty SIMPLE literal (strBefore("abc"@en,"z") = "", not
+            # ""@en) — §17.4.3.4, mirrored by RDF4J StrBefore
             a, b = spair(0, 1)
             pos = F.position(b, a)
-            return F.when(pos > 0, F.substr(a, F.lit(1), pos - 1)).otherwise(
-                F.when(a.isNotNull() & b.isNotNull(), F.lit(""))), _EXPR_STR
+            return F.when(
+                pos > 0, wrap_lang(F.substr(a, F.lit(1), pos - 1), slang(0))
+            ).otherwise(
+                F.when(a.isNotNull() & b.isNotNull(), F.lit(""))), _EXPR_TERM
         if name == "strafter":
             a, b = spair(0, 1)
             pos = F.position(b, a)
-            return F.when(pos > 0, F.substr(a, pos + F.length(b))).otherwise(
-                F.when(a.isNotNull() & b.isNotNull(), F.lit(""))), _EXPR_STR
+            return F.when(
+                pos > 0, wrap_lang(F.substr(a, pos + F.length(b)), slang(0))
+            ).otherwise(
+                F.when(a.isNotNull() & b.isNotNull(), F.lit(""))), _EXPR_TERM
         if name == "encode_for_uri":
             # fn:encode-for-uri percent-encodes (RFC 3986 unreserved kept);
             # url_encode is form-encoding, so fix up its three deviations
@@ -1639,16 +1703,34 @@ class _Planner:
             e = F.replace(e, F.lit("%7E"), F.lit("~"))
             return e, _EXPR_STR
         if name == "concat":
-            return F.concat(*[s(i) for i in range(len(ev))]), _EXPR_STR
+            # the result carries a language tag only when EVERY argument
+            # is a literal with that same tag (§17.4.3.1.2); any plain or
+            # differently-tagged argument makes the result simple
+            if not ev:
+                return F.lit(""), _EXPR_STR
+            res = F.concat(*[s(i) for i in range(len(ev))])
+            langs = [
+                slang(i) if ev[i][1] == _EXPR_TERM else F.lit("")
+                for i in range(len(ev))
+            ]
+            same = langs[0] != ""
+            for lg in langs[1:]:
+                same = same & (lg == langs[0])
+            return F.when(same, wrap_lang(res, langs[0])).otherwise(res), _EXPR_TERM
         if name == "replace":
             # REPLACE(str, pattern, replacement[, flags]) — regex
-            # replacement with inline-able flags, like REGEX
+            # replacement with inline-able flags, like REGEX; the result
+            # carries arg1's language tag (fn:replace over xs:string
+            # under the §17.4.3 string-literal rules)
             pat = s(1)
             if len(ev) > 3 and args[3][0] == "lit":
                 pat = _flagged_pattern(pat, args[3][1])
                 if pat is None:
-                    return F.lit(None).cast("string"), _EXPR_STR
-            return F.regexp_replace(sl(0), pat, s(2)), _EXPR_STR
+                    return F.lit(None).cast("string"), _EXPR_TERM
+            return (
+                wrap_lang(F.regexp_replace(sl(0), pat, s(2)), slang(0)),
+                _EXPR_TERM,
+            )
         if name == "abs":
             return F.abs(n(0)), _EXPR_NUM
         if name == "round":
@@ -1681,14 +1763,30 @@ class _Planner:
         if name == "struuid":
             return F.expr("uuid()"), _EXPR_STR
         if name == "strlang":
-            return F.concat(F.lit('"'), nt.nt_escape(s(0)), F.lit('"@'), s(1)), _EXPR_TERM
+            # arg1 must be a SIMPLE literal: STRLANG("x"@en, "fr") and
+            # STRLANG(1, "en") are type errors (§17.4.2.6) -> NULL
+            return F.concat(F.lit('"'), nt.nt_escape(simple(0)), F.lit('"@'), s(1)), _EXPR_TERM
         if name == "strdt":
-            return F.concat(F.lit('"'), nt.nt_escape(s(0)), F.lit('"^^'), term(1)), _EXPR_TERM
+            return F.concat(F.lit('"'), nt.nt_escape(simple(0)), F.lit('"^^'), term(1)), _EXPR_TERM
         if name == "if":
+            # an ERROR condition makes the whole IF an error (§17.4.1.2):
+            # two one-sided whens leave NULL for the NULL condition, where
+            # when/otherwise would silently take the else branch
             c = self.to_bool(*ev[0])
-            return F.when(c, term(1)).otherwise(term(2)), ev[1][1]
+            return F.when(c, term(1)).when(~c, term(2)), ev[1][1]
         if name == "coalesce":
-            return F.coalesce(*[term(i) for i in range(len(ev))]), ev[0][1]
+            # mixed-kind arguments must be harmonized to the lexical
+            # representation first: F.coalesce(double, string) makes ANSI
+            # Spark cast the string arm to DOUBLE (a plan-time crash on
+            # COALESCE(1/0, "ok")), where SPARQL just returns the first
+            # non-error value whatever its type
+            kinds = {k for _, k in ev}
+            if len(kinds) == 1:
+                return F.coalesce(*[term(i) for i in range(len(ev))]), ev[0][1]
+            return (
+                F.coalesce(*[self.to_str(*ev[i]) for i in range(len(ev))]),
+                _EXPR_TERM,
+            )
         # XSD constructor casts, e.g. xsd:double(?x) / xsd:integer(?x)
         if name.startswith(nt.XSD) or name.startswith("xsd:"):
             local = name.rsplit("#", 1)[-1].rsplit(":", 1)[-1]

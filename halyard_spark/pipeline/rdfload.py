@@ -44,10 +44,18 @@ def bulk_load_rdf(
     the ParserPump per-file failure-reporting analog, so a load that
     silently drops input is visible in the manifest it leaves behind.
     """
+    from halyard_spark.session import adaptive_shuffle_width
     from halyard_spark.sources.metrics import ParseMetrics
 
     metrics = ParseMetrics(spark)
     quads = read_rdf(spark, path, metrics=metrics)
+    # sort width tracks THIS load's input bytes (same spill-wall fix as
+    # run_pipeline): a terabyte load must range-sort across hundreds of
+    # partitions, a fixture load keeps the core-count width
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(adaptive_shuffle_width(spark, quads)),
+    )
     if override_graph is not None:
         quads = quads.withColumn("ctx", F.lit(override_graph))
     elif default_graph is not None:

@@ -246,3 +246,27 @@ def test_resume_invalidates_downstream_on_extract_change(spark, tmp_path):
     # and the new class reached the store
     store = spark.read.parquet(f"{out}/store/spo")
     assert store.where(F.col("obj") == "<urn:entity:class:Zz>").count() > 0
+
+
+def test_adaptive_shuffle_width(spark, tmp_path):
+    """Width tracks input bytes: a small parquet keeps the session floor;
+    the same helper scales linearly once the volume crosses the 128MB
+    target (regression gate for the sf1.0 spill wall AND for the
+    blanket-initialPartitionNum task-storm it must not reintroduce)."""
+    from halyard_spark.session import adaptive_shuffle_width
+
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = str(tmp_path / "tiny")
+    spark.range(1000).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    assert adaptive_shuffle_width(spark, tiny) == floor
+
+    # expansion=very large simulates a big on-disk input without writing
+    # one: width must grow past the floor and respect the cap
+    big = adaptive_shuffle_width(spark, tiny, expansion=10_000_000.0)
+    assert big > floor
+    assert adaptive_shuffle_width(spark, tiny, expansion=1e12, cap=64) == 64
+
+    # a non-file source (in-memory range) must not crash and never
+    # returns less than the floor
+    assert adaptive_shuffle_width(spark, spark.range(10)) >= floor

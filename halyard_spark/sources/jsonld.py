@@ -242,7 +242,7 @@ def _emit_list(items: list, td, ctx: _Ctx, out: list, graph, scope: str,
         return _RDF_NIL
     head = prev = None
     for i, v in enumerate(items):
-        node = "_:l" + _sha1(f"{bkey}|{i}")
+        node = "_:l" + _sha1(f"{scope}|{bkey}|{i}")  # document-scoped, like _emit_node
         obj = _expand_value(v, None if td is None else {**td, "container": None},
                             ctx, out, graph, scope, f"{bkey}|{i}")
         if obj is None:
@@ -319,8 +319,13 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
     if isinstance(sid, str):
         subj = _subject_term(sid, ctx, scope)
     else:
+        # scope participates in the hash so (a) two identical anonymous
+        # SIBLING nodes stay distinct blank nodes (expand_document scopes
+        # each top-level array element) and (b) anonymous nodes never
+        # coincide across documents — the same per-document bnode scoping
+        # the fresh-parser-per-line reference model gives labeled bnodes
         basis = bkey if bkey is not None else json.dumps(doc, sort_keys=True)
-        subj = "_:b" + _sha1(basis)
+        subj = "_:b" + _sha1(f"{scope}|{basis}")
     for key, val in doc.items():
         if key in ("@context", "@id", "@index"):
             continue
@@ -376,10 +381,14 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
             vals: list = []
             for k in sorted(val):
                 vals.extend(_flatten_values(val[k], td))
-        elif container == "@list" and isinstance(val, list):
-            # same bkey convention as a {"@list": [...]} value at index 0,
+        elif container == "@list" and not (isinstance(val, dict) and "@list" in val):
+            # expansion coerces the value to a list even when the JSON
+            # holds a single element ("p": "a" == "p": ["a"]); an explicit
+            # {"@list": ...} value object is handled by _expand_value.
+            # Same bkey convention as a {"@list": [...]} value at index 0,
             # so both spellings yield identical deterministic labels
-            head = _emit_list(val, td, ctx, out, graph, scope,
+            head = _emit_list(val if isinstance(val, list) else [val],
+                              td, ctx, out, graph, scope,
                               f"{subj}|{pred_iri}|0")
             out.append((subj, pred, head, graph))
             continue

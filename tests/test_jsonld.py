@@ -262,3 +262,34 @@ def test_legacy_default_vocab_for_unmapped_terms():
     assert spo({"@id": EX + "a", "name": "x"}) == {
         (f"<{EX}a>", "<urn:ndjsonld:name>", nt.lit("x")),
     }
+
+
+def test_list_node_labels_scoped_per_document():
+    # rdf:first/rest chain labels must not coincide across documents —
+    # two lines holding the same @list would otherwise share _:l nodes
+    # and merge their chains when unioned into one graph.
+    doc = {"@context": {"p": {"@id": EX + "p", "@container": "@list"}},
+           "@id": EX + "a", "p": ["u", "v"]}
+    heads_a = {o for s, p, o, _ in rows(doc, scope="line1")
+               if p == f"<{EX}p>"}
+    heads_b = {o for s, p, o, _ in rows(doc, scope="line2")
+               if p == f"<{EX}p>"}
+    assert heads_a and heads_b and heads_a.isdisjoint(heads_b)
+    assert rows(doc, scope="line1") == rows(doc, scope="line1")  # stable
+
+
+def test_list_container_coerces_single_value():
+    # expansion treats "p": "a" as "p": ["a"] under @container: @list —
+    # both spellings must emit an identical one-element rdf:first/rest
+    # chain (and identical labels, per the bkey convention).
+    ctx = {"@context": {"p": {"@id": EX + "p", "@container": "@list"}}}
+    single = rows({**ctx, "@id": EX + "a", "p": "x"}, scope="s")
+    listed = rows({**ctx, "@id": EX + "a", "p": ["x"]}, scope="s")
+    explicit = rows({"@context": {"p": EX + "p"}, "@id": EX + "a",
+                     "p": {"@list": ["x"]}}, scope="s")
+    assert single == listed == explicit
+    firsts = [(s, o) for s, p, o, _ in single if p == f"<{nt.RDF}first>"]
+    rests = [(s, o) for s, p, o, _ in single if p == f"<{nt.RDF}rest>"]
+    assert len(firsts) == 1 and firsts[0][1] == nt.lit("x")
+    assert rests == [(firsts[0][0],
+                      "<" + nt.RDF + "nil>")] or rests[0][1].endswith("nil>")

@@ -1752,6 +1752,34 @@ class _Planner:
             return fn(ts), _EXPR_NUM
         if name == "tz":
             return F.regexp_extract(s(0), r"(Z|[+-]\d\d:\d\d)$", 1), _EXPR_STR
+        if name == "timezone":
+            # §17.4.5.7 / fn:timezone-from-dateTime: the offset as an
+            # xsd:dayTimeDuration literal — Z and +00:00 give "PT0S",
+            # -05:30 gives "-PT5H30M"; a dateTime WITHOUT a timezone is
+            # a type error (NULL here, error=>unbound/false downstream)
+            tzs = F.regexp_extract(s(0), r"(Z|[+-]\d\d:\d\d)$", 1)
+            hh = F.substring(tzs, 2, 2).cast("int")
+            mm = F.substring(tzs, 5, 2).cast("int")
+            body = F.when((hh == 0) & (mm == 0), F.lit("PT0S")).otherwise(
+                F.concat(
+                    F.lit("PT"),
+                    F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H")))
+                    .otherwise(F.lit("")),
+                    F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M")))
+                    .otherwise(F.lit("")),
+                )
+            )
+            sign = F.when(
+                tzs.startswith("-") & ((hh > 0) | (mm > 0)), F.lit("-")
+            ).otherwise(F.lit(""))
+            dur = F.when(tzs == "Z", F.lit("PT0S")).when(
+                tzs != "", F.concat(sign, body)
+            )
+            return (
+                F.concat(F.lit('"'), dur,
+                         F.lit('"^^<' + nt.XSD + 'dayTimeDuration>')),
+                _EXPR_TERM,
+            )
         if name == "md5":
             return F.md5(s(0).cast("binary")), _EXPR_STR
         if name == "sha1":

@@ -19,15 +19,71 @@ def _shared_vars(left: DataFrame, right: DataFrame) -> list[str]:
     return [c for c in left.columns if c in set(right.columns)]
 
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_TERM_DTYPES = {
+    "bigint": "integer", "int": "integer", "smallint": "integer",
+    "tinyint": "integer", "double": "double", "float": "double",
+    "boolean": "boolean",
+}
+
+
+def _term_col(col: Column, dt: str) -> Column:
+    """Term-string view of a solution column for cross-kind comparison.
+
+    Pattern variables hold N-Triples term strings; computed variables
+    (BIND / projection expressions) keep their native Spark type.  A
+    join sharing such a variable must neither crash (ANSI casts the term
+    string to BIGINT) nor silently mismatch: the native side is rendered
+    to its canonical typed-literal term form so the comparison is
+    term-to-term — strict label equality, the same Value.equals the
+    reference's binding-set joins use (non-canonical lexical forms like
+    "01"^^xsd:integer intentionally do NOT match a computed 1)."""
+    if dt == "string":
+        return col
+    dtype = _TERM_DTYPES.get("decimal" if dt.startswith("decimal") else dt)
+    if dtype is None:
+        return col.cast("string")
+    return F.when(
+        col.isNotNull(),
+        F.concat(F.lit('"'), col.cast("string"), F.lit(f'"^^<{_XSD}{dtype}>')),
+    )
+
+
+def _mixed_kinds(left: DataFrame, right: DataFrame, shared) -> bool:
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    return any(ldt[c] != rdt[c] for c in shared)
+
+
 def bgp_join(left: DataFrame, right: DataFrame) -> DataFrame:
     """Join (BGP '.'): inner join on shared variables (HTEE:735-762).
 
     No shared variables -> cross product, per SPARQL join semantics.
+    Shared variables where one side is a computed native-typed column
+    compare via their term form (see _term_col); the all-string fast
+    path keeps the plain column-name equi-join.
     """
     shared = _shared_vars(left, right)
     if not shared:
         return left.crossJoin(right)
-    return left.join(right, on=shared, how="inner")
+    if not _mixed_kinds(left, right, shared):
+        return left.join(right, on=shared, how="inner")
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            _term_col(left[c], ldt[c]) == _term_col(r[f"__r_{c}"], rdt[c])
+            for c in shared
+        ],
+    )
+    # matched rows bind the same term on both sides; keep left's
+    # representation (native stays native, term stays term)
+    return left.join(r, on=cond, how="inner").drop(
+        *[f"__r_{c}" for c in shared]
+    )
 
 
 def optional_join(
@@ -47,12 +103,14 @@ def optional_join(
     shared = _shared_vars(left, right)
     wc = set(wildcard_cols or ()) & set(shared)
     if shared:
+        ldt, rdt = dict(left.dtypes), dict(right.dtypes)
         terms = []
         for c in shared:
+            lc, rc = _term_col(left[c], ldt[c]), _term_col(right[c], rdt[c])
             if c in wc:
-                terms.append(left[c].isNull() | right[c].isNull() | (left[c] == right[c]))
+                terms.append(left[c].isNull() | right[c].isNull() | (lc == rc))
             else:
-                terms.append(left[c].eqNullSafe(right[c]))
+                terms.append(lc.eqNullSafe(rc))
         cond = reduce(lambda a, b: a & b, terms)
         if condition is not None:
             cond = cond & condition
@@ -64,7 +122,12 @@ def optional_join(
             return joined
         left_cols = set(left.columns)
         sel = [
-            (F.coalesce(left[c], right[c]) if c in wc else left[c]).alias(c)
+            (
+                F.coalesce(_term_col(left[c], ldt[c]),
+                           _term_col(right[c], rdt[c]))
+                if c in wc and ldt[c] != rdt[c]
+                else (F.coalesce(left[c], right[c]) if c in wc else left[c])
+            ).alias(c)
             for c in left.columns
         ] + [right[c].alias(c) for c in right.columns if c not in left_cols]
         return joined.select(*sel)
@@ -89,15 +152,28 @@ def minus(
     if not shared:
         return left  # no shared vars -> nothing is removed
     wc = set(wildcard_cols or ()) & set(shared)
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
     r = right.select(*shared).distinct()
-    if not wc:
+    if not wc and not _mixed_kinds(left, right, shared):
         return left.join(r, on=shared, how="left_anti")
     for c in shared:
         r = r.withColumnRenamed(c, f"__minus_{c}")
+    if not wc:
+        eq = reduce(
+            lambda a, b: a & b,
+            [
+                _term_col(left[c], ldt[c])
+                == _term_col(r[f"__minus_{c}"], rdt[c])
+                for c in shared
+            ],
+        )
+        return left.join(r, on=eq, how="left_anti")
     compat = reduce(
         lambda a, b: a & b,
         [
-            left[c].isNull() | r[f"__minus_{c}"].isNull() | (left[c] == r[f"__minus_{c}"])
+            left[c].isNull() | r[f"__minus_{c}"].isNull()
+            | (_term_col(left[c], ldt[c])
+               == _term_col(r[f"__minus_{c}"], rdt[c]))
             for c in shared
         ],
     )
@@ -113,8 +189,13 @@ def intersection(left: DataFrame, right: DataFrame) -> DataFrame:
     (HTEE:900-936; spill set -> Spark native left-semi).  Null-safe per
     column: a row containing an unbound value present in BOTH inputs is
     in the intersection (plain equality would drop it)."""
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
     cond = reduce(
-        lambda a, b: a & b, [left[c].eqNullSafe(right[c]) for c in left.columns]
+        lambda a, b: a & b,
+        [
+            _term_col(left[c], ldt[c]).eqNullSafe(_term_col(right[c], rdt[c]))
+            for c in left.columns
+        ],
     )
     return left.join(right, on=cond, how="left_semi")
 
@@ -140,6 +221,7 @@ def values_join(left: DataFrame, vals: DataFrame) -> DataFrame:
     shared = [c for c in vals.columns if c in set(left.columns)]
     if not shared:
         return left.crossJoin(vals)
+    ldt, vdt = dict(left.dtypes), dict(vals.dtypes)
     renamed = vals
     for c in shared:
         renamed = renamed.withColumnRenamed(c, f"__values_{c}")
@@ -148,13 +230,23 @@ def values_join(left: DataFrame, vals: DataFrame) -> DataFrame:
         [
             renamed[f"__values_{c}"].isNull()
             | left[c].isNull()
-            | (renamed[f"__values_{c}"] == left[c])
+            | (_term_col(renamed[f"__values_{c}"], vdt[c])
+               == _term_col(left[c], ldt[c]))
             for c in shared
         ],
     )
     out = left.join(renamed, on=cond, how="inner")
     for c in shared:
-        out = out.withColumn(c, F.coalesce(left[c], renamed[f"__values_{c}"]))
+        if ldt[c] != vdt[c]:
+            out = out.withColumn(
+                c,
+                F.coalesce(_term_col(left[c], ldt[c]),
+                           _term_col(renamed[f"__values_{c}"], vdt[c])),
+            )
+        else:
+            out = out.withColumn(
+                c, F.coalesce(left[c], renamed[f"__values_{c}"])
+            )
     return out.drop(*[f"__values_{c}" for c in shared])
 
 

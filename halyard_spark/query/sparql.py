@@ -2031,6 +2031,11 @@ class _Planner:
         if q.offset or q.limit is not None:
             df = A.slice_rows(df, offset=q.offset, limit=q.limit)
         if report_unbound is not None:
+            # a COMPUTED projection ((expr AS ?v), aggregate or not) can
+            # evaluate to error => NULL-as-UNBOUND; report conservatively —
+            # a compat join on a column that is never actually NULL is
+            # semantically identical to the equi-join it replaces
+            inner_unbound.update(a for a, e in q.projections if e is not None)
             report_unbound.update(inner_unbound & set(df.columns))
         return df
 

@@ -153,3 +153,64 @@ def test_construct_repeatable_bnode_labels(store):
     a = sorted(tuple(r) for r in sparql_query(store, q).collect())
     b = sorted(tuple(r) for r in sparql_query(store, q).collect())
     assert a == b and len(a) > 0
+
+
+# -- mixed-kind joins: computed (native-typed) vars meeting pattern
+# (term-string) vars must compare term-to-term, not crash on the ANSI
+# cast or silently drop rows (HalyardTupleExprEvaluation binding-set
+# joins use Value.equals — strict label+datatype equality)
+
+XI = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+@pytest.fixture(scope="module")
+def numstore(spark):
+    data = [
+        ("<urn:a>", "<urn:p>", f'"1"{XI}', None),
+        ("<urn:b>", "<urn:p>", '"x"', None),       # cast errors -> unbound
+        ("<urn:a>", "<urn:q>", f'"1"{XI}', None),
+        ("<urn:b>", "<urn:q>", f'"9"{XI}', None),
+        ("<urn:c>", "<urn:q>", f'"01"{XI}', None),  # non-canonical label
+    ]
+    return spark.createDataFrame(
+        data, "subj string, pred string, obj string, ctx string"
+    )
+
+
+def test_numeric_bind_joins_pattern_var(numstore):
+    # a's computed 1 term-matches "1"^^xsd:integer only (NOT "01"); b's
+    # errored ?v is unbound and compatibility-matches every ?v binding
+    got = rows(sparql_query(numstore, """SELECT ?s ?s2 WHERE {
+        ?s <urn:p> ?o . BIND(xsd:integer(?o) AS ?v) ?s2 <urn:q> ?v . }"""))
+    assert got == [("<urn:a>", "<urn:a>"), ("<urn:b>", "<urn:a>"),
+                   ("<urn:b>", "<urn:b>"), ("<urn:b>", "<urn:c>")]
+
+
+def test_numeric_subquery_projection_joins_pattern_var(numstore):
+    # the same shape through a subquery projection (expr AS ?v): the
+    # error row must survive as unbound (projection exprs are reported
+    # maybe-unbound), and the join must be term-aware
+    got = rows(sparql_query(numstore, """SELECT ?s ?s2 WHERE {
+        { SELECT ?s (xsd:integer(?o) AS ?v) WHERE { ?s <urn:p> ?o } }
+        ?s2 <urn:q> ?v . }"""))
+    assert got == [("<urn:a>", "<urn:a>"), ("<urn:b>", "<urn:a>"),
+                   ("<urn:b>", "<urn:b>"), ("<urn:b>", "<urn:c>")]
+
+
+def test_numeric_bind_optional_and_minus(numstore):
+    got = rows(sparql_query(numstore, """SELECT ?s ?s2 WHERE {
+        ?s <urn:p> ?o . BIND(xsd:integer(?o) AS ?v)
+        OPTIONAL { ?s2 <urn:q> ?v } }"""))
+    assert got == [("<urn:a>", "<urn:a>"), ("<urn:b>", "<urn:a>"),
+                   ("<urn:b>", "<urn:b>"), ("<urn:b>", "<urn:c>")]
+    got = rows(sparql_query(numstore, """SELECT ?s WHERE {
+        ?s <urn:p> ?o . BIND(xsd:integer(?o) AS ?v)
+        MINUS { ?x <urn:q> ?v } }"""))
+    # a removed (?v=1 compatible); b kept: unbound ?v -> disjoint domain
+    assert got == [("<urn:b>",)]
+
+
+def test_numeric_bind_values_join(numstore):
+    got = rows(sparql_query(numstore, """SELECT ?s WHERE {
+        ?s <urn:p> ?o . BIND(xsd:integer(?o) AS ?v) VALUES ?v { 1 } }"""))
+    assert got == [("<urn:a>",), ("<urn:b>",)]

@@ -148,6 +148,8 @@ def main():
             "|---|---|---|",
         ]
         for st, v in pipe["stages"].items():
+            if st.startswith("_"):  # _conf/_total metadata, not a stage
+                continue
             md.append(f"| {st} | {v['wall_ms']} | {v['rows']} |")
         md.append("")
     md += ["## Operators @ 10x", "", "| op | wall_sec | rows |", "|---|---|---|"]

@@ -21,12 +21,6 @@ def _shared_vars(left: DataFrame, right: DataFrame) -> list[str]:
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 
-_TERM_DTYPES = {
-    "bigint": "integer", "int": "integer", "smallint": "integer",
-    "tinyint": "integer", "double": "double", "float": "double",
-    "boolean": "boolean",
-}
-
 
 def _term_col(col: Column, dt: str) -> Column:
     """Term-string view of a solution column for cross-kind comparison.
@@ -38,16 +32,42 @@ def _term_col(col: Column, dt: str) -> Column:
     to its canonical typed-literal term form so the comparison is
     term-to-term — strict label equality, the same Value.equals the
     reference's binding-set joins use (non-canonical lexical forms like
-    "01"^^xsd:integer intentionally do NOT match a computed 1)."""
+    "01"^^xsd:integer intentionally do NOT match a computed 1).
+
+    Same rendering policy as sparql._var_as_term (CONSTRUCT templates):
+    the engine's numeric tower is double, so an integral double renders
+    as xsd:integer — SPARQL arithmetic preserves integer for integer
+    inputs, and BIND(?a + 1) must term-match a stored "2"^^xsd:integer.
+    """
     if dt == "string":
         return col
-    dtype = _TERM_DTYPES.get("decimal" if dt.startswith("decimal") else dt)
-    if dtype is None:
-        return col.cast("string")
-    return F.when(
-        col.isNotNull(),
-        F.concat(F.lit('"'), col.cast("string"), F.lit(f'"^^<{_XSD}{dtype}>')),
-    )
+    if dt == "boolean":
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit('"'), col.cast("string"),
+                     F.lit(f'"^^<{_XSD}boolean>')),
+        )
+    if dt in ("double", "float") or dt.startswith("decimal"):
+        i = col.try_cast("long")
+        return F.when(
+            col.isNotNull(),
+            F.when(
+                i.isNotNull() & (i.cast(dt if not dt.startswith("decimal")
+                                        else "double") == col),
+                F.concat(F.lit('"'), i.cast("string"),
+                         F.lit(f'"^^<{_XSD}integer>')),
+            ).otherwise(
+                F.concat(F.lit('"'), col.cast("string"),
+                         F.lit(f'"^^<{_XSD}double>'))
+            ),
+        )
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit('"'), col.cast("string"),
+                     F.lit(f'"^^<{_XSD}integer>')),
+        )
+    return col.cast("string")
 
 
 def _mixed_kinds(left: DataFrame, right: DataFrame, shared) -> bool:

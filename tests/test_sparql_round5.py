@@ -214,3 +214,13 @@ def test_numeric_bind_values_join(numstore):
     got = rows(sparql_query(numstore, """SELECT ?s WHERE {
         ?s <urn:p> ?o . BIND(xsd:integer(?o) AS ?v) VALUES ?v { 1 } }"""))
     assert got == [("<urn:a>",), ("<urn:b>",)]
+
+
+def test_arithmetic_bind_joins_integer_term(numstore):
+    # the numeric tower is double: BIND(?n + 1) computes 2.0, which must
+    # render as "2"^^xsd:integer for the join (same integral-double
+    # policy as CONSTRUCT's _var_as_term) and match a's <urn:q> "1"+1
+    got = rows(sparql_query(numstore, """SELECT ?s2 WHERE {
+        <urn:a> <urn:p> ?o . BIND(xsd:integer(?o) + 0 AS ?v)
+        ?s2 <urn:q> ?v . }"""))
+    assert got == [("<urn:a>",)]

@@ -95,7 +95,8 @@ def bgp_join(left: DataFrame, right: DataFrame) -> DataFrame:
     cond = reduce(
         lambda a, b: a & b,
         [
-            _term_col(left[c], ldt[c]) == _term_col(r[f"__r_{c}"], rdt[c])
+            (left[c] == r[f"__r_{c}"]) if ldt[c] == rdt[c]
+            else _term_col(left[c], ldt[c]) == _term_col(r[f"__r_{c}"], rdt[c])
             for c in shared
         ],
     )
@@ -126,7 +127,13 @@ def optional_join(
         ldt, rdt = dict(left.dtypes), dict(right.dtypes)
         terms = []
         for c in shared:
-            lc, rc = _term_col(left[c], ldt[c]), _term_col(right[c], rdt[c])
+            if ldt[c] == rdt[c]:
+                # same-kind columns keep DIRECT df[c] references: Spark's
+                # self-join disambiguation special-cases them, and the
+                # term view is the identity here anyway
+                lc, rc = left[c], right[c]
+            else:
+                lc, rc = _term_col(left[c], ldt[c]), _term_col(right[c], rdt[c])
             if c in wc:
                 terms.append(left[c].isNull() | right[c].isNull() | (lc == rc))
             else:
@@ -182,7 +189,8 @@ def minus(
         eq = reduce(
             lambda a, b: a & b,
             [
-                _term_col(left[c], ldt[c])
+                (left[c] == r[f"__minus_{c}"]) if ldt[c] == rdt[c]
+                else _term_col(left[c], ldt[c])
                 == _term_col(r[f"__minus_{c}"], rdt[c])
                 for c in shared
             ],
@@ -192,7 +200,8 @@ def minus(
         lambda a, b: a & b,
         [
             left[c].isNull() | r[f"__minus_{c}"].isNull()
-            | (_term_col(left[c], ldt[c])
+            | ((left[c] == r[f"__minus_{c}"]) if ldt[c] == rdt[c]
+               else _term_col(left[c], ldt[c])
                == _term_col(r[f"__minus_{c}"], rdt[c]))
             for c in shared
         ],
@@ -213,7 +222,9 @@ def intersection(left: DataFrame, right: DataFrame) -> DataFrame:
     cond = reduce(
         lambda a, b: a & b,
         [
-            _term_col(left[c], ldt[c]).eqNullSafe(_term_col(right[c], rdt[c]))
+            left[c].eqNullSafe(right[c]) if ldt[c] == rdt[c]
+            else _term_col(left[c], ldt[c]).eqNullSafe(
+                _term_col(right[c], rdt[c]))
             for c in left.columns
         ],
     )
@@ -250,7 +261,8 @@ def values_join(left: DataFrame, vals: DataFrame) -> DataFrame:
         [
             renamed[f"__values_{c}"].isNull()
             | left[c].isNull()
-            | (_term_col(renamed[f"__values_{c}"], vdt[c])
+            | ((renamed[f"__values_{c}"] == left[c]) if ldt[c] == vdt[c]
+               else _term_col(renamed[f"__values_{c}"], vdt[c])
                == _term_col(left[c], ldt[c]))
             for c in shared
         ],

@@ -264,6 +264,7 @@ def _expand_value(v, td, ctx: _Ctx, out: list, graph, scope: str,
     """One value in object position -> an RDF term (emitting any
     auxiliary triples for nested nodes / lists into `out`)."""
     if isinstance(v, dict):
+        v = _norm_keys(v, ctx)  # aliased @value/@list/@id keys (§6.14)
         if "@value" in v:
             return _value_obj(v, td, ctx)
         if "@list" in v:
@@ -296,11 +297,47 @@ def _expand_value(v, td, ctx: _Ctx, out: list, graph, scope: str,
     return nt.lit(s, lang=lang)
 
 
-def _flatten_values(val, td) -> list:
+def _keyword_alias(key: str, ctx: _Ctx) -> str | None:
+    """Keyword aliasing (JSON-LD 1.0 §6.14): a context may map a term to
+    a keyword ("id": "@id", "type": "@type" — the schema.org-style
+    contexts real corpora carry).  Returns the keyword `key` aliases, or
+    None if it's an ordinary term.  (@context itself cannot usefully be
+    aliased — the alias would need a context to be understood.)"""
+    if key.startswith("@"):
+        return None
+    td = ctx.terms.get(key)
+    if isinstance(td, dict):
+        kid = td.get("id")
+        if isinstance(kid, str) and kid in _KEYWORDS:
+            return kid
+    return None
+
+
+def _norm_keys(d: dict, ctx: _Ctx) -> dict:
+    """Replace aliased keys with the keywords they stand for, so every
+    downstream `"@id" in doc` check sees the canonical spelling.  A
+    literal keyword key wins over an alias for the same keyword."""
+    if not any(_keyword_alias(k, ctx) for k in d):
+        return d
+    out: dict = {}
+    for k, v in d.items():
+        kw = _keyword_alias(k, ctx)
+        if kw is None:
+            out[k] = v
+        elif kw not in d and kw not in out:
+            out[kw] = v
+        # else: the keyword is also present literally (or via an earlier
+        # alias) — the literal spelling wins, the duplicate alias drops
+    return out
+
+
+def _flatten_values(val, td, ctx: _Ctx) -> list:
     """Array + @set flattening for one key's raw value."""
     vals = val if isinstance(val, list) else [val]
     flat: list = []
     for v in vals:
+        if isinstance(v, dict):
+            v = _norm_keys(v, ctx)
         if isinstance(v, dict) and "@set" in v and "@value" not in v:
             inner = v["@set"]
             flat.extend(inner if isinstance(inner, list) else [inner])
@@ -315,6 +352,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
     term so callers can link to it."""
     if "@context" in doc:
         ctx = _push_ctx(ctx, doc["@context"])
+    doc = _norm_keys(doc, ctx)
     sid = doc.get("@id")
     if isinstance(sid, str):
         subj = _subject_term(sid, ctx, scope)
@@ -351,7 +389,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
                 if pred_iri is None:
                     continue
                 pred = nt.iri(pred_iri)
-                for i, v in enumerate(_flatten_values(rval, None)):
+                for i, v in enumerate(_flatten_values(rval, None, ctx)):
                     if not isinstance(v, dict) or "@value" in v:
                         raise ValueError("@reverse values must be node objects")
                     child = _emit_node(v, ctx, out, graph, scope,
@@ -380,7 +418,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
         if container == "@index" and isinstance(val, dict):
             vals: list = []
             for k in sorted(val):
-                vals.extend(_flatten_values(val[k], td))
+                vals.extend(_flatten_values(val[k], td, ctx))
         elif container == "@list" and not (isinstance(val, dict) and "@list" in val):
             # expansion coerces the value to a list even when the JSON
             # holds a single element ("p": "a" == "p": ["a"]); an explicit
@@ -393,7 +431,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
             out.append((subj, pred, head, graph))
             continue
         else:
-            vals = _flatten_values(val, td)
+            vals = _flatten_values(val, td, ctx)
         for i, v in enumerate(vals):
             obj = _expand_value(v, td, ctx, out, graph, scope,
                                 f"{subj}|{pred_iri}|{i}")

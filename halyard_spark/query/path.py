@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 def transitive_closure(
     edges: DataFrame,
     min_length: int = 1,
-    max_iter: int = 10_000,  # HOP budget (graph diameter), not doubling rounds
     nodes: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> all (src, dst) pairs connected by a directed
@@ -55,7 +54,10 @@ def transitive_closure(
         )
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     sources = edges.select("src").distinct()
-    closure = reachable_from(edges, sources, min_length=1, max_iter=max_iter)
+    # _normalized: this function just deduped + checkpointed the edge set;
+    # letting reachable_from re-distinct + re-checkpoint it would
+    # materialize the edge table twice per closure call (code-review fix)
+    closure = reachable_from(edges, sources, min_length=1, _normalized=True)
     if min_length == 0:
         if nodes is None:
             nodes = edges.select(F.col("src").alias("n")).union(
@@ -70,8 +72,9 @@ def reachable_from(
     edges: DataFrame,
     sources: DataFrame,
     min_length: int = 1,
-    max_iter: int = 10_000,
+    max_length: int | None = None,
     hops_per_round: int | None = None,
+    _normalized: bool = False,
 ) -> DataFrame:
     """Bound-source property path: all (src, dst) with a directed path of
     length >= min_length from each src in ``sources`` (a one-column
@@ -91,6 +94,12 @@ def reachable_from(
     m ->+ o} — so e.g. ``p{2,}`` is exact, not approximated by the >= 1
     closure.  min_length = 0 adds the identity pair for every source
     (ZeroLengthPath binds o = s regardless of graph membership).
+
+    ``max_length`` is an intentional path-length CAP (``p?`` passes 1),
+    counted in hops after the min_length seed advance; ``None`` (the
+    default) runs the BFS to convergence — termination is guaranteed
+    because every round's anti-join only admits never-seen (root, node)
+    pairs from a finite space.
 
     ``hops_per_round`` batches that many 1-hop joins into ONE Spark job
     before the convergence action (``None`` = auto: up to 16 on
@@ -122,7 +131,8 @@ def reachable_from(
         raise ValueError(f"min_length must be >= 0; got {min_length}")
     if hops_per_round is not None and hops_per_round < 1:
         raise ValueError(f"hops_per_round must be >= 1; got {hops_per_round}")
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if not _normalized:
+        edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     n_edges = edges.count()  # free: the checkpoint is materialized
     spark = edges.sparkSession
     try:
@@ -173,10 +183,20 @@ def reachable_from(
         )
     result = None
     frontier = seeds
-    hops_left = max_iter
-    while hops_left > 0:
-        this_round = min(hops_per_round, hops_left)
-        hops_left -= this_round
+    # BFS terminates on its own: each round's anti-join keeps only pairs
+    # never seen before, and the (root, node) space is finite — so the
+    # default is run-to-convergence, matching the removed path-doubling's
+    # effective 2^64-hop coverage (code-review fix: a finite default hop
+    # budget silently truncated deep closures).  max_length is an
+    # INTENTIONAL path-length cap — `p?` passes 1 — counted in hops
+    # after the min_length seed advance, not a convergence budget.
+    hops_left = max_length if max_length is not None else -1
+    while hops_left != 0:
+        this_round = (
+            hops_per_round if hops_left < 0 else min(hops_per_round, hops_left)
+        )
+        if hops_left > 0:
+            hops_left -= this_round
         stepped = frontier
         parts = []
         for h in range(this_round):

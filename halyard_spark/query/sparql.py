@@ -1337,7 +1337,7 @@ class _Planner:
                 )
                 pairs = PATH.reachable_from(
                     e, seeds, min_length=0 if mod in ("*", "?") else 1,
-                    max_iter=1 if mod == "?" else 10_000,
+                    max_length=1 if mod == "?" else None,
                 )
                 if not s_var and not o_var:
                     pairs = pairs.where(
@@ -1388,14 +1388,14 @@ class _Planner:
             # acts as an EXISTS gate under bgp_join's cross product
             seeds = self.spark.createDataFrame([(_Parser.term_lexical(s),)], "src string")
             if mod == "?":
-                pairs = PATH.reachable_from(edges, seeds, min_length=0, max_iter=1)
+                pairs = PATH.reachable_from(edges, seeds, min_length=0, max_length=1)
             else:
                 pairs = PATH.reachable_from(edges, seeds, min_length=min_length)
             return pairs.where(F.col("dst") == _Parser.term_lexical(o)).limit(1).select()
         if not s_var:  # bound source
             seeds = self.spark.createDataFrame([(_Parser.term_lexical(s),)], "src string")
             if mod == "?":
-                pairs = PATH.reachable_from(edges, seeds, min_length=0, max_iter=1)
+                pairs = PATH.reachable_from(edges, seeds, min_length=0, max_length=1)
             else:
                 pairs = PATH.reachable_from(edges, seeds, min_length=min_length)
             return pairs.select(F.col("dst").alias(o[1]))
@@ -1403,7 +1403,7 @@ class _Planner:
         rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         seeds = self.spark.createDataFrame([(_Parser.term_lexical(o),)], "src string")
         if mod == "?":
-            pairs = PATH.reachable_from(rev, seeds, min_length=0, max_iter=1)
+            pairs = PATH.reachable_from(rev, seeds, min_length=0, max_length=1)
         else:
             pairs = PATH.reachable_from(rev, seeds, min_length=min_length)
         return pairs.select(F.col("dst").alias(s[1]))
@@ -1609,6 +1609,23 @@ class _Planner:
                 return F.when(col.isNotNull(), F.lit(nt.XSD + "string")), _EXPR_STR
             if kind == _EXPR_BOOL:
                 return F.when(col.isNotNull(), F.lit(nt.XSD + "boolean")), _EXPR_STR
+            if kind == _EXPR_NUM:
+                # numeric expression result — same convention as
+                # _var_as_term's serialization: integral value renders
+                # as xsd:integer, else xsd:double (code-review fix: the
+                # raw numeric column previously fell through to
+                # nt_datatype and returned NULL for every numeric expr)
+                i = col.try_cast("long")
+                return (
+                    F.when(
+                        col.isNotNull(),
+                        F.when(
+                            i.isNotNull() & (i.cast("double") == col.cast("double")),
+                            F.lit(nt.XSD + "integer"),
+                        ).otherwise(F.lit(nt.XSD + "double")),
+                    ),
+                    _EXPR_STR,
+                )
             if kind == _EXPR_TERM:
                 bare = ~(
                     col.startswith("<") | col.startswith("_:") | col.startswith('"')
@@ -1705,10 +1722,13 @@ class _Planner:
         if name == "concat":
             # the result carries a language tag only when EVERY argument
             # is a literal with that same tag (§17.4.3.1.2); any plain or
-            # differently-tagged argument makes the result simple
+            # differently-tagged argument makes the result simple.  Each
+            # argument must be a STRING LITERAL (sl, same §17.4.3 policy
+            # as STRLEN/STRSTARTS/SUBSTR): an IRI/bnode/typed-literal arg
+            # is a type error -> NULL result, not a silent stringification
             if not ev:
                 return F.lit(""), _EXPR_STR
-            res = F.concat(*[s(i) for i in range(len(ev))])
+            res = F.concat(*[sl(i) for i in range(len(ev))])
             langs = [
                 slang(i) if ev[i][1] == _EXPR_TERM else F.lit("")
                 for i in range(len(ev))
@@ -2156,6 +2176,22 @@ def sparql_query(
     df = planner.eval_group(q.where)
 
     if q.form == "construct":
+        # §16.2: solution modifiers (ORDER BY / LIMIT / OFFSET) apply to
+        # the SOLUTION SEQUENCE, and the template then instantiates once
+        # per selected solution — slicing the instantiated-and-deduped
+        # triples instead yields a different graph (code-review
+        # regression: LIMIT 2 must mean "2 solutions", not "2 triples")
+        if q.offset or q.limit is not None:
+            if q.order_by:
+                keys: list[Column] = []
+                for e, asc in q.order_by:
+                    col, k = planner.eval_expr(e, df)
+                    if k == _EXPR_TERM:
+                        keys.extend(E.order_key(col, ascending=asc))
+                    else:
+                        keys.append(col if asc else col.desc())
+                df = df.orderBy(*keys)
+            df = A.slice_rows(df, offset=q.offset, limit=q.limit)
         def col_of(term):
             if term[0] == "var":
                 if term[1].startswith("__bnode_") and term[1] not in df.columns:
@@ -2182,8 +2218,6 @@ def sparql_query(
         # no triple for that template row (§16.2), and ill-formed triples
         # (literal subject, non-IRI predicate) are likewise omitted
         out = A.multi_projection(df, templates, drop_incomplete=True)
-        if q.offset or q.limit is not None:
-            out = A.slice_rows(out, offset=q.offset, limit=q.limit)
         return out
 
     return planner.plan_select(q, df=df)

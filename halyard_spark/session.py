@@ -143,8 +143,18 @@ def adaptive_shuffle_width(spark: SparkSession, df, expansion: float = 4.0,
     set ``spark.sql.shuffle.partitions`` (a runtime conf) with the
     result before running their stages; AQE still coalesces the small
     tail stages below it.
+
+    The floor is the session's CORE-COUNT width, not the current conf
+    value: a prior wide job sets spark.sql.shuffle.partitions high, and
+    flooring at the conf would ratchet every later small job up to that
+    width permanently (code-review regression) — exactly the per-task
+    overhead cliff this function exists to avoid.  Callers restore the
+    conf after their run for the same reason.
     """
-    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        floor = max(int(spark.sparkContext.defaultParallelism), 8)
+    except Exception:
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
     total = 0
     try:
         from urllib.parse import unquote, urlparse

@@ -419,10 +419,15 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
             vals: list = []
             for k in sorted(val):
                 vals.extend(_flatten_values(val[k], td, ctx))
-        elif container == "@list" and not (isinstance(val, dict) and "@list" in val):
+        elif container == "@list" and not (
+            isinstance(val, dict) and "@list" in _norm_keys(val, ctx)
+        ):
             # expansion coerces the value to a list even when the JSON
             # holds a single element ("p": "a" == "p": ["a"]); an explicit
-            # {"@list": ...} value object is handled by _expand_value.
+            # {"@list": ...} value object is handled by _expand_value —
+            # detected AFTER keyword-alias normalization (§6.14), so an
+            # aliased {"list": [...]} is not double-wrapped into a
+            # list-of-lists (code-review regression).
             # Same bkey convention as a {"@list": [...]} value at index 0,
             # so both spellings yield identical deterministic labels
             head = _emit_list(val if isinstance(val, list) else [val],

@@ -199,6 +199,15 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value", metrics=None) ->
     genuine can't-express-in-built-ins boundary (the same place the
     reference spends a ParserPump thread,
     tools/.../HalyardBulkLoad.java:321-482).
+
+    Blank-node scope is per LINE OCCURRENCE, not per line text: the
+    reference runs a fresh parser per line, so two identical anonymous
+    lines are two distinct entities (code-review fix — a raw-text scope
+    merged them).  Duplicate lines get an occurrence index from ONE
+    count aggregation, which is partitioning-invariant: the same input
+    yields the same skolem labels at any parallelism, unlike a
+    partition-id scheme.  The first occurrence keeps scope == line,
+    preserving labels for the common no-duplicate case.
     """
     from collections.abc import Iterator
 
@@ -208,23 +217,31 @@ def ndjsonld_to_triples(df: DataFrame, line_col: str = "value", metrics=None) ->
 
     acc_stmt = metrics.statements_skipped if metrics is not None else None
 
+    lines = df.select(F.trim(F.col(line_col)).alias("line")).where(
+        F.col("line").isNotNull() & (F.col("line") != "")
+    )
+    occs = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n")).select(
+        "line",
+        F.explode(F.sequence(F.lit(0), (F.col("n") - 1).cast("int"))).alias("occ"),
+    )
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["subj", "pred", "obj", "ctx"]
         for pdf in batches:
             rows: list = []
-            for line in pdf[line_col].fillna(""):
-                line = line.strip()
+            for line, occ in zip(pdf["line"].fillna(""), pdf["occ"]):
                 if not line:
                     continue
+                scope = line if occ == 0 else f"{line}\x00dup{occ}"
                 try:
-                    rows.extend(jsonld_to_rows(line, scope=line))
+                    rows.extend(jsonld_to_rows(line, scope=scope))
                 except ValueError:
                     if acc_stmt is not None:
                         acc_stmt.add(1)
                     continue  # dirty-parse tolerance (HalyardBulkLoad skipinvalid)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(line_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
+    return occs.mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -85,8 +85,13 @@ def parse_trix(
             k = _local(child.tag)
             if k == "triple":
                 triples.append(child)
-            elif k in ("uri", "id") and not triples:
-                # graph name precedes the triples; <id> names a bnode graph
+            elif k in ("uri", "id") and ctx is None:
+                # graph name element (<id> names a bnode graph) — honored
+                # wherever it appears among the children, not only before
+                # the first <triple>: the triples are buffered and ctx is
+                # applied after the scan, so a late name element must not
+                # silently reroute the graph to the default context
+                # (code-review fix); first name wins if several appear
                 ctx = _term(child, bnode_scope)
         for t in triples:
             terms = list(t)

@@ -229,17 +229,16 @@ class _TurtleParser:
         return self.out
 
     def resync(self, start: int) -> None:
-        """Skip past the failed statement: advance to the next top-level
-        '.' (HalyardBulkLoad skip-invalid semantics).  Brace-aware: a
+        """Skip past the failed statement: rescan from its FIRST token and
+        advance to the first top-level '.' (HalyardBulkLoad skip-invalid
+        semantics).  Rescanning from ``start`` — not from wherever the
+        failed parse stopped — matters when the parse error was raised
+        only AFTER consuming the statement's own terminator (e.g. a
+        missing object: ``<a> <p> .``): hunting from the post-error
+        position would eat the next valid statement.  Brace-aware: a
         failure before/at a graph block skips the WHOLE block rather than
         resuming inside it with the wrong (default) context."""
-        if start < len(self.toks) and self.toks[start] == ("punct", "."):
-            # a stray terminator is the whole failed "statement": consume
-            # just it, so the NEXT (valid) statement is not eaten while
-            # hunting for another '.'
-            self.i = start + 1
-            return
-        self.i = max(self.i, start + 1)
+        self.i = start
         depth = 0
         braces = 0
         while self.i < len(self.toks):
@@ -264,11 +263,9 @@ class _TurtleParser:
     def _resync_in_block(self, start: int) -> None:
         """Statement-level recovery INSIDE a graph block: skip to the next
         '.' at depth 0 but never consume the block's closing '}', so the
-        remaining statements keep their graph context."""
-        if start < len(self.toks) and self.toks[start] == ("punct", "."):
-            self.i = start + 1
-            return
-        self.i = max(self.i, start + 1)
+        remaining statements keep their graph context.  Rescans from the
+        statement's first token (see ``resync`` for why)."""
+        self.i = start
         depth = 0
         while self.i < len(self.toks):
             k, lex = self.toks[self.i]

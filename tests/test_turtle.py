@@ -361,3 +361,27 @@ def test_dirty_resync_skips_whole_bad_block():
         p:after p:o p:z ."""
     )
     assert [(s, c) for s, _, _, c in quads] == [("<urn:p:after>", None)]
+
+
+def test_dirty_resync_no_overshoot_past_consumed_terminator():
+    """A parse error raised only AFTER the failed statement consumed its
+    own '.' terminator (missing object) must not eat the NEXT valid
+    statement while hunting for another '.' (code-review regression:
+    resync rescans from the statement's first token)."""
+    quads = parse_turtle("<urn:a> <urn:p> . <urn:b> <urn:p> <urn:c> .")
+    assert quads == [("<urn:b>", "<urn:p>", "<urn:c>", None)]
+    # same inside a TriG graph block
+    quads = parse_turtle("<urn:g> { <urn:a> <urn:p> . <urn:b> <urn:p> <urn:c> . }")
+    assert quads == [("<urn:b>", "<urn:p>", "<urn:c>", "<urn:g>")]
+
+
+def test_dirty_truncated_statement_fabricates_nothing():
+    """ADVICE repro: a truncated statement must not fabricate a triple
+    from the next statement's subject; everything up to the next '.' is
+    dropped whole (RDF4J skip-invalid semantics)."""
+    quads = parse_turtle(
+        "@prefix ex: <urn:ex/> .\nex:bad ex:p\n# comment\nex:c ex:d ex:e ."
+    )
+    assert ("<urn:ex/bad>", "<urn:ex/p>", "<urn:ex/c>", None) not in quads
+    quads2 = parse_turtle(". <urn:b> <urn:p> <urn:c> .")
+    assert quads2 == [("<urn:b>", "<urn:p>", "<urn:c>", None)]

@@ -36,13 +36,16 @@ def ebv(col: str | Column) -> Column:
     -> QueryEvaluationUtil): booleans as-is; numeric datatypes: value !=
     0, ILL-FORMED numeric lexical -> false; string-ish literals:
     non-empty; IRIs / bnodes -> type error (NULL -> FILTER false).
+    The boolean rule applies only to xsd:boolean-TYPED literals (valid
+    lexical -> value, ill-formed like "TRUE" -> false); a SIMPLE literal
+    "false" is a non-empty string, hence true (§17.2.2).
     Deviation kept from round 1: lang-tagged literals use the string
     rule, and a PLAIN literal whose lexical parses as a number keeps the
     numeric rule."""
     c = nt.nt_str(col)
     num = c.try_cast("double")
     lit_ebv = (
-        F.when(F.lower(c).isin("true", "false"), F.lower(c) == "true")
+        F.when(nt.nt_datatype(col) == nt.XSD + "boolean", c.isin("true", "1"))
         .when(is_numeric_term(col), F.coalesce(num != 0.0, F.lit(False)))
         .when(num.isNotNull(), num != 0.0)
         .otherwise(F.length(c) > 0)

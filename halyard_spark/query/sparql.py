@@ -58,7 +58,10 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3}|'{3}(?:[^'\\]|\\.|'(?!'{2}))*'{3}|"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUM>[+-]?(?:\d+\.\d+|\d+\.(?=[eE])|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_\-]*)?:(?:[A-Za-z0-9_\-%](?:[A-Za-z0-9_\-.%]*[A-Za-z0-9_\-%])?)?
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_\-]*)?:
+              (?:(?:[A-Za-z0-9_\-%]|\\[_~.\-!$&'()*+,;=/?\#@%])
+                 (?:(?:[A-Za-z0-9_\-.%]|\\[_~.\-!$&'()*+,;=/?\#@%])*
+                    (?:[A-Za-z0-9_\-%]|\\[_~.\-!$&'()*+,;=/?\#@%]))?)?
              |[A-Za-z_][A-Za-z0-9_\-]*)
   | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.=<>!*/+\-?^|])
     """,
@@ -249,7 +252,9 @@ class _Parser:
             if not q.where:
                 raise SyntaxError("SPARQL: CONSTRUCT WHERE shortform needs a pattern")
             for el in q.where:
-                if el[0] != "triple":
+                # §16.2.4: the shortform pattern admits only TriplesTemplate
+                # — plain triple patterns, no property paths
+                if el[0] != "triple" or el[2][0] == "pathexpr":
                     raise SyntaxError(
                         "SPARQL: CONSTRUCT WHERE shortform allows only triple patterns"
                     )
@@ -609,6 +614,9 @@ class _Parser:
             prefix, _, local = t.value.partition(":")
             if prefix not in self.prefixes:
                 raise SyntaxError(f"SPARQL: unknown prefix {prefix!r}")
+            # PN_LOCAL_ESC (grammar §19.8): '\,' etc. escape the char into
+            # the IRI; %XX percent-encodings are retained verbatim
+            local = re.sub(r"\\(.)", r"\1", local)
             return ("iri", self.prefixes[prefix] + local)
         if t.kind == "STRING":
             label = _unescape_string(t.value)
@@ -1598,7 +1606,13 @@ class _Planner:
             return F.when(ok, nt.nt_str(col)).when(bare, col.cast("string"))
 
         if name == "str":
-            return self.to_str(*ev[0]), _EXPR_STR
+            # §17.4.2.5: STR accepts a literal or IRI; a blank node is a
+            # type error (RDF4J Str throws ValueExprEvaluationException)
+            col, kind = ev[0]
+            res = self.to_str(col, kind)
+            if kind == _EXPR_TERM:
+                res = F.when(~nt.nt_is_bnode(col), res)
+            return res, _EXPR_STR
         if name == "lang":
             return nt.nt_lang(term(0)), _EXPR_STR
         if name == "langmatches":
@@ -1845,7 +1859,30 @@ class _Planner:
             if local == "string":
                 return s(0), _EXPR_STR
             if local == "boolean":
-                return self.to_bool(*ev[0]), _EXPR_BOOL
+                # §17.5 XPath constructor semantics, NOT the EBV: from a
+                # string only the xsd:boolean lexical space casts
+                # ("true"/"1" -> true, "false"/"0" -> false, else error);
+                # from a numeric, value != 0; IRI/bnode -> type error
+                col0, k0 = ev[0]
+                if k0 == _EXPR_BOOL:
+                    return col0, _EXPR_BOOL
+                if k0 == _EXPR_NUM:
+                    return col0 != 0, _EXPR_BOOL
+                if k0 == _EXPR_STR:
+                    return (
+                        F.when(col0.isin("true", "1"), F.lit(True)).when(
+                            col0.isin("false", "0"), F.lit(False)
+                        ),
+                        _EXPR_BOOL,
+                    )
+                lab = nt.nt_str(col0)
+                bad = col0.startswith("<") | col0.startswith("_:")
+                return (
+                    F.when(~bad & E.is_numeric_term(col0), E.try_numeric(col0) != 0)
+                    .when(~bad & lab.isin("true", "1"), F.lit(True))
+                    .when(~bad & lab.isin("false", "0"), F.lit(False)),
+                    _EXPR_BOOL,
+                )
         raise ValueError(f"SPARQL: unknown function {name!r}")
 
     # -- aggregates
@@ -1865,9 +1902,14 @@ class _Planner:
                 # count 0 (groupBy never yields empty groups), so this
                 # cannot mask an all-errors group, which keeps NULL
                 return F.when(F.count(F.lit(1)) == 0, F.lit(0.0)).otherwise(agg)
+            # Avg({}) = 0, same §18.5.1.5 empty-group special case as Sum
+            # (only the global group can be empty; an all-errors group has
+            # count > 0 and stays NULL = error)
             if distinct:
-                return F.sum_distinct(val) / F.count_distinct(val)
-            return F.avg(val)
+                agg = F.sum_distinct(val) / F.count_distinct(val)
+            else:
+                agg = F.avg(val)
+            return F.when(F.count(F.lit(1)) == 0, F.lit(0.0)).otherwise(agg)
         if name in ("min", "max"):
             if k == _EXPR_TERM:
                 # compare by the SPARQL order key but RETURN the term, so the

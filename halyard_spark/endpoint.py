@@ -54,9 +54,19 @@ def binding_json(value) -> dict | None:
     return {"type": "literal", "value": str(value)}
 
 
+def _is_ask(df: DataFrame) -> bool:
+    """ASK results are a single BOOLEAN `ask` column; a SELECT projecting
+    a term variable that happens to be named ?ask stays tabular."""
+    from pyspark.sql.types import BooleanType
+
+    return df.columns == ["ask"] and isinstance(
+        df.schema[0].dataType, BooleanType
+    )
+
+
 def results_json(df: DataFrame, limit: int = 10000) -> dict:
     cols = df.columns
-    if cols == ["ask"]:  # ASK answers use the boolean result form
+    if _is_ask(df):  # ASK answers use the boolean result form
         return {"head": {}, "boolean": bool(df.collect()[0]["ask"])}
     bindings = []
     for row in df.limit(limit).collect():
@@ -75,7 +85,7 @@ def results_xml(df: DataFrame, limit: int = 10000) -> str:
 
     cols = df.columns
     out = ['<?xml version="1.0"?>', '<sparql xmlns="http://www.w3.org/2005/sparql-results#">']
-    if cols == ["ask"]:
+    if _is_ask(df):
         out += ["<head/>", f"<boolean>{'true' if df.collect()[0]['ask'] else 'false'}</boolean>", "</sparql>"]
         return "\n".join(out)
     out.append("<head>" + "".join(f'<variable name="{x(c)}"/>' for c in cols) + "</head>")

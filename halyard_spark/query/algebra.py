@@ -163,6 +163,97 @@ def optional_join(
     return left.join(right, how="left_outer")
 
 
+def optional_join_parts(
+    left: DataFrame, right: DataFrame, wildcard_cols: set | None = None
+):
+    """LeftJoin(Ω1, Ω2, F) split for a filter evaluated in the MERGED
+    scope (SPARQL §18.2.2.5 lifts `OPTIONAL { P FILTER(F) }`'s filter
+    into the LeftJoin condition, so F sees the OUTER group's bindings —
+    the dawg-optional-filter shape).
+
+    Returns (merged, finish): `merged` is the compatibility INNER join
+    of the two sides with shared wildcard columns coalesced (the caller
+    filters it with F); `finish(matched)` restores the left rows with no
+    surviving extension (the Diff branch of LeftJoin) via an
+    all-columns null-safe anti-join — a left row's IDENTITY is its full
+    value tuple, so bag multiplicity is preserved without synthetic row
+    ids (k duplicate left rows with m surviving extensions yield k*m
+    merged rows; with none, all k come back unextended).  Left originals
+    of coalesced wildcard columns ride along as __lj_<c> so the Diff
+    compares the PRE-merge values."""
+    shared = _shared_vars(left, right)
+    wc = set(wildcard_cols or ()) & set(shared)
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    if shared:
+        terms = []
+        for c in shared:
+            if ldt[c] == rdt[c]:
+                lc, rc = left[c], r[f"__r_{c}"]
+            else:
+                lc = _term_col(left[c], ldt[c])
+                rc = _term_col(r[f"__r_{c}"], rdt[c])
+            if c in wc:
+                terms.append(left[c].isNull() | r[f"__r_{c}"].isNull() | (lc == rc))
+            else:
+                terms.append(lc.eqNullSafe(rc))
+        joined = left.join(r, on=reduce(lambda a, b: a & b, terms), how="inner")
+    else:
+        joined = left.crossJoin(r)
+    sel = []
+    for c in left.columns:
+        if c in wc:
+            v = (
+                F.coalesce(_term_col(left[c], ldt[c]),
+                           _term_col(r[f"__r_{c}"], rdt[c]))
+                if ldt[c] != rdt[c]
+                else F.coalesce(left[c], r[f"__r_{c}"])
+            )
+            sel.append(v.alias(c))
+        else:
+            sel.append(left[c].alias(c))
+    sel += [r[c].alias(c) for c in right.columns if c not in shared]
+    sel += [left[c].alias(f"__lj_{c}") for c in wc]
+    merged = joined.select(*sel)
+
+    def finish(matched: DataFrame) -> DataFrame:
+        out_cols = [c for c in matched.columns if not c.startswith("__lj_")]
+        mdt = dict(matched.dtypes)
+        if left.columns:
+            keys = matched.select(
+                *[
+                    (F.col(f"__lj_{c}") if c in wc else F.col(c)).alias(f"__k_{c}")
+                    for c in left.columns
+                ]
+            ).distinct()
+            cond = reduce(
+                lambda a, b: a & b,
+                [left[c].eqNullSafe(keys[f"__k_{c}"]) for c in left.columns],
+            )
+            unmatched = left.join(keys, on=cond, how="left_anti")
+        else:
+            # zero-column left (the unit solution): μ0 survives iff no
+            # extension did
+            keys = matched.select(F.lit(1).alias("__k")).limit(1)
+            unmatched = left.join(keys, on=F.lit(True), how="left_anti")
+        pad = []
+        for c in out_cols:
+            if c in set(left.columns):
+                v = (
+                    _term_col(unmatched[c], ldt[c])
+                    if c in wc and ldt[c] != rdt[c]
+                    else F.col(c)
+                )
+            else:
+                v = F.lit(None).cast(mdt[c])
+            pad.append(v.alias(c))
+        return matched.select(*out_cols).unionByName(unmatched.select(*pad))
+
+    return merged, finish
+
+
 def minus(
     left: DataFrame, right: DataFrame, wildcard_cols: set | None = None
 ) -> DataFrame:

@@ -64,16 +64,47 @@ def bind_safe(expr: Column) -> Column:
     return expr
 
 
+_DATETIME_TYPES = (nt.XSD + "dateTime", nt.XSD + "date")
+
+
 def sparql_compare(a: str | Column, b: str | Column) -> Column:
     """SPARQL value comparison key: numeric promotion when both terms are
-    numeric, else string comparison on the lexical form
-    (HalyardValueExprEvaluation.java:815-819 -> QueryEvaluationUtil)."""
+    numeric; dateTime-typed pairs compare the INSTANT (timezone offsets
+    normalized, per op:dateTime-less-than — a lexical compare would order
+    "...T14:45-05:00" before "...T15:00Z" although it is 4h45 later); a
+    numeric term against a literal with no numeric value is a TYPE ERROR
+    (NULL); else string comparison on the lexical form
+    (HalyardValueExprEvaluation.java:815-819 -> QueryEvaluationUtil).
+    Deviation kept from round 1: a PLAIN literal whose lexical parses as
+    a number takes the numeric rule, and non-numeric incompatible pairs
+    fall back to lexical order instead of erroring."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     na, nb = try_numeric(a), try_numeric(b)
     both_num = na.isNotNull() & nb.isNotNull()
-    key = F.when(both_num, F.when(na < nb, -1).when(na > nb, 1).otherwise(0)).otherwise(
-        F.when(nt.nt_str(a) < nt.nt_str(b), -1).when(nt.nt_str(a) > nt.nt_str(b), 1).otherwise(0)
+    # instant comparison for dateTime-typed pairs (no-tz lexicals take
+    # the implicit session timezone, the XPath implicit-timezone model)
+    ta = F.when(nt.nt_datatype(ca).isin(*_DATETIME_TYPES),
+                nt.nt_str(ca)).try_cast("timestamp")
+    tb = F.when(nt.nt_datatype(cb).isin(*_DATETIME_TYPES),
+                nt.nt_str(cb)).try_cast("timestamp")
+    both_dt = ta.isNotNull() & tb.isNotNull()
+    # the numeric-vs-non-numeric type error applies to LITERAL pairs;
+    # against an IRI/bnode the lexical fallback keeps RDFterm-equal's
+    # different-kind answer (= false, != true) via plain inequality
+    num_mismatch = (
+        (is_numeric_term(ca) | is_numeric_term(cb))
+        & ~both_num
+        & nt.nt_is_literal(ca)
+        & nt.nt_is_literal(cb)
+    )
+    key = (
+        F.when(both_num, F.when(na < nb, -1).when(na > nb, 1).otherwise(0))
+        .when(both_dt, F.when(ta < tb, -1).when(ta > tb, 1).otherwise(0))
+        .when(num_mismatch, F.lit(None).cast("int"))
+        .otherwise(
+            F.when(nt.nt_str(a) < nt.nt_str(b), -1).when(nt.nt_str(a) > nt.nt_str(b), 1).otherwise(0)
+        )
     )
     # comparing an UNBOUND operand is a type error (NULL -> FILTER
     # false), not "equal": without this guard every when() condition is
@@ -212,6 +243,14 @@ def order_key(col: str | Column, ascending: bool = True) -> list[Column]:
         .otherwise(2)
     )
     num = try_numeric(c)
+    # dateTime-typed literals order by INSTANT (op:dateTime-less-than),
+    # so "...T14:45-05:00" sorts after "...T15:00Z"; other terms carry a
+    # NULL here and fall through to the lexical tiebreaker
+    ts = F.when(
+        nt.nt_datatype(c).isin(*_DATETIME_TYPES), nt.nt_str(c)
+    ).try_cast("timestamp")
     if ascending:
-        return [rank.asc(), F.asc_nulls_last(num), nt.nt_str(c).asc()]
-    return [rank.desc(), F.desc_nulls_last(num), nt.nt_str(c).desc()]
+        return [rank.asc(), F.asc_nulls_last(num), F.asc_nulls_last(ts),
+                nt.nt_str(c).asc()]
+    return [rank.desc(), F.desc_nulls_last(num), F.desc_nulls_last(ts),
+            nt.nt_str(c).desc()]

@@ -81,6 +81,22 @@ _KEYWORDS = {
 }
 
 
+def _expr_vars(node) -> set[str]:
+    """Every ("var", name) leaf reachable in an expression (or list of
+    expressions) AST — used to decide whether an OPTIONAL-lifted filter
+    can see an outer binding.  Walks EXISTS groups too: their pattern
+    vars correlate against the enclosing solution, so they count."""
+    out: set[str] = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, tuple) and len(n) == 2 and n[0] == "var" and isinstance(n[1], str):
+            out.add(n[1])
+        elif isinstance(n, (tuple, list)):
+            stack.extend(n)
+    return out
+
+
 @dataclass
 class _Tok:
     kind: str
@@ -889,7 +905,16 @@ class _Planner:
             out.extend(cls._reorder_bgp(run))
         return out
 
-    def eval_group(self, elems: list, report_unbound: set | None = None) -> DataFrame:
+    def eval_group(
+        self,
+        elems: list,
+        report_unbound: set | None = None,
+        lift_filters: list | None = None,
+    ) -> DataFrame:
+        """lift_filters: when the caller is translating `OPTIONAL { ... }`,
+        this group's TOP-LEVEL filters are appended there instead of
+        applied — §18.2.2.5 makes them the LeftJoin condition, evaluated
+        over the MERGED solution (they see the outer bindings)."""
         df: DataFrame | None = None
         filters = []
         pending_values: list[tuple[DataFrame, set]] = []
@@ -989,10 +1014,29 @@ class _Planner:
                     df = self._unit()
                 before = set(df.columns)
                 sub_unbound = set()
-                right = self.eval_group(el[1], report_unbound=sub_unbound)
+                lifted: list = []
+                right = self.eval_group(
+                    el[1], report_unbound=sub_unbound, lift_filters=lifted
+                )
                 # wildcard on cols unbound-able on EITHER side (a nested
                 # OPTIONAL/BIND inside the group can emit NULL bindings)
-                df = A.optional_join(df, right, wildcard_cols=maybe_unbound | sub_unbound)
+                wc = maybe_unbound | sub_unbound
+                inner_only = set(right.columns) - before - wc
+                if not lifted:
+                    df = A.optional_join(df, right, wildcard_cols=wc)
+                elif _expr_vars(lifted) <= inner_only:
+                    # the filter can't see an outer binding (every free
+                    # var is introduced by — and only by — the optional
+                    # side): filtering the right side first is equivalent
+                    # and keeps the single left_outer join plan
+                    right = self._apply_filters(right, lifted, sub_unbound)
+                    df = A.optional_join(df, right, wildcard_cols=wc)
+                else:
+                    # §18.2.2.5: the filter IS the LeftJoin condition —
+                    # evaluate it over the merged solution, then restore
+                    # left rows whose every extension failed it
+                    merged, finish = A.optional_join_parts(df, right, wildcard_cols=wc)
+                    df = finish(self._apply_filters(merged, lifted, wc))
                 # vars introduced by the OPTIONAL side may be unbound
                 maybe_unbound.update(set(right.columns) - before)
                 # wildcard-joined vars were coalesced with the right side
@@ -1040,11 +1084,22 @@ class _Planner:
             # multiset holding exactly the empty solution mapping μ0
             # (SPARQL 1.1 §18.5 — BGP() over any graph), not an error
             df = self._unit()
+        if lift_filters is not None:
+            lift_filters.extend(filters)
+        else:
+            df = self._apply_filters(df, filters, maybe_unbound)
+        if report_unbound is not None:
+            report_unbound.update(maybe_unbound)
+        return df
+
+    def _apply_filters(self, df: DataFrame, filters: list, wildcard: set) -> DataFrame:
+        """Apply FILTER expressions to a solution set.  Top-level && is
+        split so EXISTS conjuncts can be planned as semi/anti joins
+        alongside ordinary boolean conjuncts — FILTER(A && EXISTS {...})
+        is the common nested-EXISTS form (the official suite's
+        exists-within-expression cases)."""
+
         def conjuncts(f):
-            """Split top-level && so EXISTS conjuncts can be planned as
-            semi/anti joins alongside ordinary boolean conjuncts —
-            FILTER(A && EXISTS {...}) is the common nested-EXISTS form
-            (the official suite's exists-within-expression cases)."""
             if f[0] == "and":
                 return conjuncts(f[1]) + conjuncts(f[2])
             if f[0] == "not" and f[1][0] == "exists":
@@ -1056,13 +1111,11 @@ class _Planner:
             for f in conjuncts(f0):
                 if f[0] == "exists":
                     df = A.exists_filter(
-                        df, self.eval_group(f[1]), negate=f[2], wildcard_cols=maybe_unbound
+                        df, self.eval_group(f[1]), negate=f[2], wildcard_cols=wildcard
                     )
                 else:
                     col, k = self.eval_expr(f, df)
                     df = df.filter(E.filter_cond(self.to_bool(col, k)))
-        if report_unbound is not None:
-            report_unbound.update(maybe_unbound)
         return df
 
     def eval_union(self, node, report_unbound: set | None = None) -> DataFrame:
@@ -1502,6 +1555,18 @@ class _Planner:
         def apply(x, y):
             return {"=": x == y, "!=": x != y, "<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
 
+        if ka == _EXPR_NUM or kb == _EXPR_NUM:
+            # a genuine NUMBER against a side with no numeric value is a
+            # type error (NULL), not a lexical compare — "a" != 1 filters
+            # FALSE per §17.3 RDFterm-equal, it does not keep the row.
+            # Against an IRI/bnode, RDFterm-equal still applies for =/!=
+            # (different term KINDS: = false, != true); ordering errors.
+            res = F.when(both_num, apply(na, nb))
+            other, ko = (cb, kb) if ka == _EXPR_NUM else (ca, ka)
+            if ko == _EXPR_TERM and op in ("=", "!="):
+                is_node = other.startswith("<") | other.startswith("_:")
+                res = res.when(is_node, F.lit(op == "!="))
+            return res
         return F.when(both_num, apply(na, nb)).otherwise(apply(sa, sb))
 
     # -- kind coercions
@@ -1780,10 +1845,20 @@ class _Planner:
         if name == "now":
             return F.current_timestamp().cast("string"), _EXPR_STR
         if name in ("year", "month", "day", "hours", "minutes", "seconds"):
-            ts = s(0).try_cast("timestamp")
-            fn = {"year": F.year, "month": F.month, "day": F.dayofmonth,
-                  "hours": F.hour, "minutes": F.minute, "seconds": F.second}[name]
-            return fn(ts), _EXPR_NUM
+            # §17.4.5: component accessors read the LEXICAL form — no
+            # timezone normalization (HOURS("...T14:45:13-05:00") is 14,
+            # not the session-zone hour a timestamp cast would give) and
+            # SECONDS keeps the fractional part (xsd:decimal)
+            lex = s(0)
+            # [T ]: a space separator isn't valid XSD but Spark's cast
+            # accepted it historically — keep reading it leniently
+            pat = r"^(-?\d+)-(\d\d)-(\d\d)(?:[T ](\d\d):(\d\d):(\d\d(?:\.\d+)?))?"
+            grp = {"year": 1, "month": 2, "day": 3,
+                   "hours": 4, "minutes": 5, "seconds": 6}[name]
+            comp = F.nullif(F.regexp_extract(lex, pat, grp), F.lit(""))
+            if name == "seconds":
+                return comp.try_cast("double"), _EXPR_NUM
+            return comp.try_cast("int"), _EXPR_NUM
         if name == "tz":
             return F.regexp_extract(s(0), r"(Z|[+-]\d\d:\d\d)$", 1), _EXPR_STR
         if name == "timezone":
@@ -1837,6 +1912,10 @@ class _Planner:
             c = self.to_bool(*ev[0])
             return F.when(c, term(1)).when(~c, term(2)), ev[1][1]
         if name == "coalesce":
+            if not ev:
+                # COALESCE() with no expressions: every (vacuous) branch
+                # errored -> evaluation error (unbound), not a plan crash
+                return F.lit(None).cast("string"), _EXPR_TERM
             # mixed-kind arguments must be harmonized to the lexical
             # representation first: F.coalesce(double, string) makes ANSI
             # Spark cast the string arm to DOUBLE (a plan-time crash on

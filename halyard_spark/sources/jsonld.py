@@ -153,6 +153,12 @@ def _create_term(ctx: _Ctx, local: dict, term: str, defined: dict) -> None:
         if len(picked) != len(cs):
             raise ValueError(f"unsupported @container for {term!r}: {c!r}")
         td["container"] = picked[0] if picked else None
+    if td["reverse"] and td["container"] in ("@list", "@language"):
+        # JSON-LD 1.0 "invalid reverse property": a reverse term admits
+        # only @set/@index containers — an @list/@language value would
+        # put a list head / literal in SUBJECT position
+        raise ValueError(
+            f"invalid reverse property {term!r}: @container {td['container']!r}")
     ctx.terms[term] = td
     defined[term] = True
 
@@ -219,8 +225,12 @@ def _value_obj(v: dict, td, ctx: _Ctx) -> str | None:
     if val is None:
         return None
     if "@language" in v:
+        if not isinstance(val, str):
+            # "invalid language-tagged value": only strings carry tags —
+            # stringifying a bool/number here would fabricate a literal
+            raise ValueError(f"@value with @language must be a string: {val!r}")
         lang = v["@language"]
-        return nt.lit(str(val), lang=str(lang) if lang else None)
+        return nt.lit(val, lang=str(lang) if lang else None)
     if "@type" in v:
         dt = _expand_iri(str(v["@type"]), ctx, vocab=True)
         s = ("true" if val else "false") if isinstance(val, bool) else str(val)

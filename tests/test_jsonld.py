@@ -333,3 +333,29 @@ def test_keyword_alias_literal_spelling_wins():
         EX + "q": "x",
     }
     assert spo(doc) == {(f"<{EX}literal>", f"<{EX}q>", nt.lit("x"))}
+
+
+def test_invalid_reverse_container_raises():
+    # "invalid reverse property": a reverse term admits only @set/@index
+    # containers — @list/@language would put a list head or literal in
+    # subject position (a silently wrong triple, the one thing this
+    # module promises never to emit)
+    doc = {
+        "@context": {"rv": {"@reverse": EX + "p", "@container": "@language"}},
+        "@id": EX + "s",
+        "rv": {"en": "hello"},
+    }
+    with pytest.raises(ValueError, match="invalid reverse property"):
+        rows(doc)
+    doc["@context"]["rv"]["@container"] = "@list"
+    with pytest.raises(ValueError, match="invalid reverse property"):
+        rows(doc)
+
+
+def test_language_tagged_nonstring_value_raises():
+    # "invalid language-tagged value": @value with @language must be a
+    # string — stringifying a bool would fabricate "True"@en
+    doc = {"@id": EX + "s",
+           EX + "p": {"@value": True, "@language": "en"}}
+    with pytest.raises(ValueError, match="must be a string"):
+        rows(doc)

@@ -642,6 +642,24 @@ def q_sparql_optional_values(spark, sf_dir):
     """)
 
 
+def q_sparql_optional_filter_cond(spark, sf_dir):
+    """SPARQL front-end: FILTER inside OPTIONAL referencing an OUTER
+    variable — §18.2.2.5 lifts it into the LeftJoin condition, so it is
+    evaluated over the MERGED solution (the dawg-optional-filter shape;
+    RDF4J's algebra translation feeds HTEE's LeftJoin condition arg).
+    Every customer survives; only MACHINERY ones keep the nation name."""
+    from halyard_spark.query.sparql import sparql_select
+
+    return sparql_select(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?cust ?seg ?nname WHERE {
+          ?cust p:mktsegment ?seg .
+          ?cust p:inNation ?nat
+          OPTIONAL { ?nat p:name ?nname FILTER(?seg = "MACHINERY") }
+        }
+    """)
+
+
 def q_sparql_construct(spark, sf_dir):
     """SPARQL CONSTRUCT through the parser -> multi_projection templates
     (the reference's RDF-export query form, HalyardExport.java:473-539)."""
@@ -1235,6 +1253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_construct": q_sparql_construct,
     "sparql_filter_order": q_sparql_filter_order,
     "sparql_optional_values": q_sparql_optional_values,
+    "sparql_optional_filter_cond": q_sparql_optional_filter_cond,
     "sparql_bgp_group": q_sparql_bgp_group,
     # --- de-vacuousized this round (must show spark_rows > 0)
     "corpus_filter": q_corpus_filter,
@@ -1810,6 +1829,13 @@ ORACLES: dict[str, str] = {
                '"' || r_name || '"' AS region_name
         FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
         WHERE n_regionkey IN (0, 1)
+    """,
+    "sparql_optional_filter_cond": """
+        SELECT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS cust,
+               '"' || c_mktsegment || '"' AS seg,
+               '"' || n_name || '"' AS nname
+        FROM customer LEFT JOIN nation
+          ON n_nationkey = c_nationkey AND c_mktsegment = 'MACHINERY'
     """,
     "sparql_construct": """
         SELECT DISTINCT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,

@@ -1962,6 +1962,27 @@ class _Planner:
                     .when(~bad & lab.isin("false", "0"), F.lit(False)),
                     _EXPR_BOOL,
                 )
+            if local in ("datetime", "date"):
+                # §17.5 constructor cast: validate the target lexical
+                # space, emit a TYPED literal term — comparisons then take
+                # sparql_compare's dateTime INSTANT rule.  (`local` was
+                # case-folded by the function-name normalization, hence
+                # "datetime".)
+                dtname = "dateTime" if local == "datetime" else "date"
+                lex = s(0)
+                pat = (
+                    r"^-?\d{4,}-\d\d-\d\dT\d\d:\d\d:\d\d(\.\d+)?(Z|[+-]\d\d:\d\d)?$"
+                    if local == "datetime"
+                    else r"^-?\d{4,}-\d\d-\d\d(Z|[+-]\d\d:\d\d)?$"
+                )
+                return (
+                    F.when(
+                        lex.rlike(pat),
+                        F.concat(F.lit('"'), lex,
+                                 F.lit(f'"^^<{nt.XSD}{dtname}>')),
+                    ),
+                    _EXPR_TERM,
+                )
         raise ValueError(f"SPARQL: unknown function {name!r}")
 
     # -- aggregates
@@ -1975,20 +1996,29 @@ class _Planner:
         col, k = self.eval_expr(args[0], df)
         if name in ("sum", "avg"):
             val = self.to_num(col, k)
+            # §18.5.1.3/.4: op:numeric-add over the group's sequence — a
+            # BOUND member with no numeric value makes the WHOLE aggregate
+            # a type error (unbound), not a silently-smaller sum.  Unbound
+            # members are skipped (the RDF4J-style leniency the rest of
+            # the aggregate surface shares).
+            bad = F.max(
+                F.when(col.isNotNull() & val.isNull(), 1).otherwise(0)
+            )
             if name == "sum":
                 agg = F.sum_distinct(val) if distinct else F.sum(val)
                 # Sum({}) = 0 (§18.5.1.5): only the empty GLOBAL group has
                 # count 0 (groupBy never yields empty groups), so this
                 # cannot mask an all-errors group, which keeps NULL
-                return F.when(F.count(F.lit(1)) == 0, F.lit(0.0)).otherwise(agg)
-            # Avg({}) = 0, same §18.5.1.5 empty-group special case as Sum
-            # (only the global group can be empty; an all-errors group has
-            # count > 0 and stays NULL = error)
-            if distinct:
+            elif distinct:
                 agg = F.sum_distinct(val) / F.count_distinct(val)
             else:
                 agg = F.avg(val)
-            return F.when(F.count(F.lit(1)) == 0, F.lit(0.0)).otherwise(agg)
+            # Avg({}) = 0, same §18.5.1.5 empty-group special case as Sum
+            return (
+                F.when(F.count(F.lit(1)) == 0, F.lit(0.0))
+                .when(bad == 1, F.lit(None).cast("double"))
+                .otherwise(agg)
+            )
         if name in ("min", "max"):
             if k == _EXPR_TERM:
                 # compare by the SPARQL order key but RETURN the term, so the

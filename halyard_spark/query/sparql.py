@@ -1975,9 +1975,23 @@ class _Planner:
                     if local == "datetime"
                     else r"^-?\d{4,}-\d\d-\d\d(Z|[+-]\d\d:\d\d)?$"
                 )
+                # the shape regex can't check FIELD ranges (month<=12,
+                # day valid for the month, hour<=23...) — "2010-13-40"
+                # must be a cast error, not a typed literal.  Validate
+                # by try_cast on a normalized lexical: timezone suffix
+                # stripped (XSD allows "2010-01-15Z", Spark's cast does
+                # not) and the XSD-legal T24:00:00 end-of-day folded to
+                # a castable instant.
+                norm = F.regexp_replace(lex, r"(Z|[+-]\d\d:\d\d)$", "")
+                if local == "datetime":
+                    norm = F.regexp_replace(
+                        norm, r"T24:00:00(\.0+)?$", "T00:00:00")
+                    in_range = norm.try_cast("timestamp").isNotNull()
+                else:
+                    in_range = norm.try_cast("date").isNotNull()
                 return (
                     F.when(
-                        lex.rlike(pat),
+                        lex.rlike(pat) & in_range,
                         F.concat(F.lit('"'), lex,
                                  F.lit(f'"^^<{nt.XSD}{dtname}>')),
                     ),

@@ -193,6 +193,77 @@ def nt_unescape(col: str | Column) -> Column:
     return F.regexp_replace(c, _SENTINEL, "\\\\")
 
 
+def nt_decode_uchar(col: str | Column) -> Column:
+    """Normalize ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric escapes in an
+    N-Triples TERM to raw code points — pure Column expressions, no
+    Python in the plan (the NT scan's whole-stage-codegen contract).
+
+    The reference's Rio parser decodes numeric escapes at parse time
+    (NTriplesUtil), so ``<urn:s\\u0041>`` and ``<urn:sA>`` are the SAME
+    IRI; without this, the same term loaded from .nt vs .ttl would not
+    join.  Canonical escaping is preserved: UCHARs whose target IS an
+    NT-structural char (quote, backslash, newline, CR, tab) are rewritten
+    to their canonical two-char escapes, never to raw chars that would
+    break the term's lexical form.
+
+    Mechanics: park ``\\\\`` on a private-use sentinel (so a real
+    backslash followed by 'u' text is never misread as an escape),
+    convert ``\\U``+8-hex to one or two ``\\u`` JSON escapes (surrogate
+    pair above the BMP), double every backslash NOT starting a
+    ``\\uXXXX`` escape, JSON-quote, and let ONE from_json decode all the
+    numeric escapes.  Any malformed sequence makes from_json return NULL
+    and the original term is kept (coalesce)."""
+    c = _c(col)
+    has = c.rlike(r"\\[uU][0-9A-Fa-f]")
+    s = F.regexp_replace(c, r"\\\\", _SENTINEL)
+    # structural targets -> canonical escapes (hex letters case-insensitive)
+    for pat, rep in [
+        (r"\\u0022|\\U00000022", '\\\\"'),
+        (r"\\u005[cC]|\\U0000005[cC]", _SENTINEL),
+        (r"\\u000[aA]|\\U0000000[aA]", r"\\n"),
+        (r"\\u000[dD]|\\U0000000[dD]", r"\\r"),
+        (r"\\u0009|\\U00000009", r"\\t"),
+    ]:
+        s = F.regexp_replace(s, pat, rep)
+    # \U 8-hex -> \u escapes (split keeps each \U run at a part start)
+    parts = F.split(s, r"(?=\\U[0-9A-Fa-f]{8})")
+
+    def _conv(x):
+        is_u = x.rlike(r"^\\U[0-9A-Fa-f]{8}")
+        cp = F.conv(F.substring(x, 3, 8), 16, 10).cast("long")
+        rest = F.substring(x, 11, 2147483647)
+        bmp = F.concat(
+            F.lit("\\u"),
+            F.lpad(F.lower(F.conv(cp.cast("string"), 10, 16)), 4, "0"), rest)
+        hi = F.shiftright(cp - 0x10000, 10) + F.lit(0xD800)
+        lo = (cp - 0x10000) % F.lit(0x400) + F.lit(0xDC00)
+        pair = F.concat(
+            F.lit("\\u"),
+            F.lpad(F.lower(F.conv(hi.cast("string"), 10, 16)), 4, "0"),
+            F.lit("\\u"),
+            F.lpad(F.lower(F.conv(lo.cast("string"), 10, 16)), 4, "0"), rest)
+        return (
+            F.when(~is_u, x)
+            .when(cp <= 0xFFFF, bmp)
+            .when(cp <= 0x10FFFF, pair)
+            .otherwise(x)
+        )
+
+    s = F.array_join(F.transform(parts, _conv), "")
+    # remaining backslashes are NT two-char escapes (\n, \", \') or lone
+    # strays: double them so from_json returns them verbatim
+    s = F.regexp_replace(s, r"\\(?![uU][0-9A-Fa-f]{4})", r"\\\\")
+    # JSON-quote: escape raw quotes (term delimiters) and raw tab (the
+    # one control char NT literals may contain unescaped)
+    s = F.regexp_replace(s, '"', '\\\\"')
+    s = F.regexp_replace(s, "\t", r"\\t")
+    dec = F.element_at(
+        F.from_json(F.concat(F.lit('["'), s, F.lit('"]')), "array<string>"), 1
+    )
+    out = F.regexp_replace(dec, _SENTINEL, r"\\\\")
+    return F.when(has, F.coalesce(out, c)).otherwise(c)
+
+
 def nt_str(col: str | Column) -> Column:
     """SPARQL STR(): IRI -> string, literal -> UNESCAPED label.
 

@@ -286,7 +286,15 @@ def ntriples_to_triples(lines: DataFrame, line_col: str = "value", metrics=None)
             & (~F.trim(F.col("__line")).startswith("#"))
         )
         parsed = metrics.observe_lines_skipped(parsed, bad)
-    return parsed.select("subj", "pred", "obj", "ctx").where(F.col("subj") != "")
+    out = parsed.select("subj", "pred", "obj", "ctx").where(F.col("subj") != "")
+    # normalize \uXXXX / \UXXXXXXXX numeric escapes to code points so
+    # terms join across serializations (Rio decodes them at parse time);
+    # pure Column expressions — the scan stays whole-stage codegen
+    return out.select(
+        *[nt.nt_decode_uchar(F.col(c2)).alias(c2)
+          for c2 in ("subj", "pred", "obj")],
+        nt.nt_decode_uchar(F.col("ctx")).alias("ctx"),
+    )
 
 
 def read_ntriples(spark, path: str, metrics=None) -> DataFrame:

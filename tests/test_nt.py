@@ -84,3 +84,29 @@ def test_spark_accessors_adversarial_literals(spark):
     ).select(nt.nt_lang("t").alias("lang"), nt.nt_datatype("t").alias("dt")).collect()
     assert real[0]["lang"] == "en" and real[0]["dt"] == nt.RDF + "langString"
     assert real[1]["lang"] == "" and real[1]["dt"] == nt.XSD + "integer"
+
+
+def test_nt_reader_decodes_uchar_escapes(spark, tmp_path):
+    """Numeric escapes in N-Triples normalize to code points at read
+    time (NTriplesUtil parity), canonical escaping preserved, and the
+    scan stays pure-JVM (no Python in the plan)."""
+    from halyard_spark.sources.rio import read_rdf
+
+    p = tmp_path / "u.nt"
+    p.write_text(
+        '<urn:s\\u0041> <urn:p> "caf\\u00e9" .\n'
+        '<urn:a> <urn:p> "q\\u0022inner" .\n'      # -> canonical \\"
+        '<urn:a> <urn:p> "nl\\u000Ax" .\n'          # -> canonical \\n
+        '<urn:a> <urn:p> "bs\\u005Cx" .\n'          # -> canonical \\\\
+        '<urn:a> <urn:p> "keep\\\\u0041" .\n'       # escaped \\ + text: kept
+        '<urn:a> <urn:p> "emoji\\U0001F600" .\n'    # surrogate-pair plane
+    )
+    df = read_rdf(spark, str(p))
+    objs = {r.obj for r in df.collect()}
+    assert objs == {
+        '"café"', '"q\\"inner"', '"nl\\nx"', '"bs\\\\x"',
+        '"keep\\\\u0041"', '"emoji😀"',
+    }
+    assert {r.subj for r in df.collect()} == {"<urn:sA>", "<urn:a>"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -385,3 +385,17 @@ def test_dirty_truncated_statement_fabricates_nothing():
     assert ("<urn:ex/bad>", "<urn:ex/p>", "<urn:ex/c>", None) not in quads
     quads2 = parse_turtle(". <urn:b> <urn:p> <urn:c> .")
     assert quads2 == [("<urn:b>", "<urn:p>", "<urn:c>", None)]
+
+
+def test_uchar_escapes_in_iri_and_literal():
+    """\\uXXXX / \\UXXXXXXXX are legal INSIDE IRIREF per the Turtle
+    grammar (UCHAR member) — the tokenizer must accept them and the
+    parser decode them to code points (RDF4J's Rio does both)."""
+    from halyard_spark.sources.turtle import parse_turtle
+
+    got = parse_turtle('<urn:s\\u0041> <urn:p> "caf\\u00e9" .')
+    assert got == [("<urn:sA>", "<urn:p>", '"café"', None)]
+    got = parse_turtle('<urn:s\\U00000041> <urn:p> "x" .')
+    assert got == [("<urn:sA>", "<urn:p>", '"x"', None)]
+    # a non-UCHAR backslash escape keeps the IRI token illegal -> skip
+    assert parse_turtle('<urn:s\\x41> <urn:p> "x" .') == []

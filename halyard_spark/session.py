@@ -116,6 +116,17 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             initial_partitions,
         )
+    # Compression codec knob (shuffle + parquet together): on a
+    # bandwidth-bound host, trading abundant CPU for scarce memory
+    # bandwidth (zstd) is the same lever a 100-TB cluster pulls to keep
+    # shuffle volume off the network.  Unset = Spark defaults
+    # (lz4 shuffle, snappy parquet).
+    codec = os.environ.get("SPARK_GRAFT_CODEC")
+    if codec:
+        builder = (
+            builder.config("spark.io.compression.codec", codec)
+            .config("spark.sql.parquet.compression.codec", codec)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -2476,17 +2476,21 @@ def _parse_update_ops(parser: _Parser) -> list:
             if with_ctx is not None:
                 raise SyntaxError("SPARQL UPDATE: WITH does not combine with DATA forms")
             quads = _template_quads(parser.parse_group())
+            if head.value == "delete":
+                _reject_delete_bnodes(quads, "DELETE DATA")
             ops.append(("insert_data" if head.value == "insert" else "delete_data", quads))
         elif head.value == "delete" and parser.peek().kind == "KW" and parser.peek().value == "where":
             parser.next()
             elems = parser.parse_group()
             quads = _template_quads(elems, default_ctx=with_ctx)
+            _reject_delete_bnodes(quads, "DELETE WHERE")
             where = [("graph", with_ctx, elems)] if with_ctx else elems
             ops.append(("modify", quads, None, where, None))
         else:
             delete_q = insert_q = None
             if head.value == "delete":
                 delete_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
+                _reject_delete_bnodes(delete_q, "a DELETE template")
                 if parser.accept("KW", "insert"):
                     insert_q = _template_quads(parser.parse_group(), default_ctx=with_ctx)
             else:
@@ -2594,23 +2598,59 @@ def _var_as_term(df: DataFrame, name: str) -> Column:
 
 
 def _instantiate(bound: DataFrame, quads: list) -> DataFrame:
+    """Template quads x solution bag -> candidate quad rows.
+
+    UPDATE §3.1.3 instantiation semantics (same rules CONSTRUCT applies
+    through multi_projection): a template blank node mints a FRESH bnode
+    per solution (deterministic content hash of label + bindings — the
+    same scheme as CONSTRUCT, stable across partitionings); a solution
+    that leaves any template variable unbound produces no quad for that
+    template row; ill-formed quads (literal subject, non-IRI predicate
+    or graph name) are skipped, never inserted."""
+
     def c(term):
         if term is None:
             return F.lit(None).cast("string")
         if term[0] == "var":
+            if term[1].startswith("__bnode_") and term[1] not in bound.columns:
+                basis = F.concat_ws(
+                    "\x1f", F.lit(term[1]),
+                    *[F.coalesce(F.col(x).cast("string"), F.lit(""))
+                      for x in sorted(bound.columns)],
+                )
+                return F.concat(F.lit("_:u"), F.sha1(basis))
             return _var_as_term(bound, term[1])
         return F.lit(_Parser.term_lexical(term))
 
-    parts = [
-        bound.select(
+    parts = []
+    for s, p, o, ctx in quads:
+        row = bound.select(
             c(s).alias("subj"), c(p).alias("pred"), c(o).alias("obj"), c(ctx).alias("ctx")
+        ).where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+            & ~F.col("subj").startswith('"')
+            & F.col("pred").startswith("<")
+            & (F.col("ctx").isNull() | F.col("ctx").startswith("<"))
         )
-        for s, p, o, ctx in quads
-    ]
+        parts.append(row)
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def _reject_delete_bnodes(quads: list, where_what: str) -> None:
+    """UPDATE §3.1.3.1: blank nodes are PROHIBITED in DELETE templates
+    (official suite syntax-update-bad cases) — a bnode can never match a
+    specific stored statement, so RDF4J's parser rejects it outright."""
+    for s, p, o, ctx in quads:
+        for t in (s, p, o, ctx):
+            if t is not None and t[0] == "var" and t[1].startswith("__bnode_"):
+                raise SyntaxError(
+                    f"SPARQL UPDATE: blank nodes are not allowed in {where_what}"
+                )
 
 
 def sparql_update(triples: DataFrame, update: str, base: str | None = None) -> DataFrame:

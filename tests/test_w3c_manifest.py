@@ -74,6 +74,13 @@ def test_w3c_case(spark, case):
                 _Parser(tokenize_sparql(text)).parse()
         return
     data = load_nquads(spark, W3C_DIR / case["data"])
+    if case.get("type") == "update-negative":
+        # update request the grammar/static rules must reject (e.g. blank
+        # nodes in DELETE templates) — the official suite's
+        # NegativeUpdateSyntaxTest11 entry type
+        with pytest.raises(SyntaxError):
+            sparql_update(data, (W3C_DIR / case["update"]).read_text())
+        return
     if case.get("type") == "negative-eval":
         # a static error the grammar alone cannot catch (BIND in-scope
         # rebind, projecting an ungrouped variable): planning must raise

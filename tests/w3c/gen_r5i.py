@@ -1,7 +1,10 @@
-"""Round-5i batch: xsd:date constructor cast, AVG error-member
-propagation (shares Sum's §18.5 rule), STRENDS §17.4.3.1 argument
-compatibility (mismatched language tags are a type error), and the
-term-KIND rank in ORDER BY (blank nodes < IRIs < literals, §15.1).
+"""Round-5i batch: UPDATE template-instantiation semantics (§3.1.3) —
+fresh blank nodes per solution in INSERT templates, ill-formed /
+unbound template rows skipped, blank nodes PROHIBITED in DELETE
+templates (DELETE DATA / DELETE WHERE / DELETE {} forms — the official
+NegativeUpdateSyntaxTest11 shapes), USING overriding WITH for the WHERE
+pattern while WITH still receives the inserts, and ';'-sequences where
+a later operation reads an earlier one's effects.
 
 Run from tests/w3c/:  python gen_r5i.py
 """
@@ -11,62 +14,79 @@ import json
 CASES = []
 
 
-def q(name, data, query, rows=None, vars=None, boolean=None, ordered=False,
+def q(name, data, query, rows=None, vars=None, boolean=None, update=None,
       type=None):
-    with open(f"queries/{name}.rq", "w") as f:
-        f.write(query + "\n")
-    entry = {"name": name, "data": data, "query": f"queries/{name}.rq"}
+    entry = {"name": name, "data": data}
+    if update is not None:
+        with open(f"updates/{name}.ru", "w") as f:
+            f.write(update + "\n")
+        entry["update"] = f"updates/{name}.ru"
     if type:
         entry["type"] = type
-    else:
-        exp = {"boolean": boolean} if boolean is not None else (
-            {"vars": vars, "rows": rows, **({"ordered": True} if ordered else {})})
-        with open(f"expected/{name}.json", "w") as f:
-            json.dump(exp, f, indent=1)
-        entry["result"] = f"expected/{name}.json"
+        CASES.append(entry)
+        return
+    with open(f"queries/{name}.rq", "w") as f:
+        f.write(query + "\n")
+    entry["query"] = f"queries/{name}.rq"
+    exp = {"boolean": boolean} if boolean is not None else {"vars": vars, "rows": rows}
+    with open(f"expected/{name}.json", "w") as f:
+        json.dump(exp, f, indent=1)
+    entry["result"] = f"expected/{name}.json"
     CASES.append(entry)
 
 
-with open("data/kinds.nt", "w") as f:
-    f.write('<urn:k> <urn:p> "zlit" .\n'
-            '<urn:k> <urn:p> <urn:iri1> .\n'
-            '<urn:k> <urn:p> _:b1 .\n')
+# ---- INSERT bnode template: ONE fresh bnode per solution, shared
+# across the template rows instantiated from that solution ----
+q("upd-insert-bnode-fresh", "data/people.nt",
+  'SELECT (COUNT(DISTINCT ?x) AS ?c) WHERE {\n'
+  '  ?x <urn:label> ?n . ?x <urn:of> ?s FILTER(isBlank(?x))\n'
+  '}',
+  update='INSERT { _:x <urn:label> ?n . _:x <urn:of> ?s }\n'
+         'WHERE { ?s <urn:name> ?n }',
+  rows=[[3]], vars=["c"])
 
-with open("data/dates.nt", "w") as f:
-    f.write('<urn:d1> <urn:on> "2010-01-15"^^<http://www.w3.org/2001/XMLSchema#date> .\n'
-            '<urn:d2> <urn:on> "2011-03-02"^^<http://www.w3.org/2001/XMLSchema#date> .\n')
+# ---- ill-formed template rows (literal subject) are skipped; the
+# well-formed rows from the SAME template still land ----
+q("upd-insert-illformed-skip", "data/people.nt",
+  'SELECT (COUNT(*) AS ?bad) (SUM(IF(?p = <urn:ok>, 1, 0)) AS ?good)\n'
+  'WHERE { ?s ?p ?o FILTER(?p IN (<urn:bad>, <urn:ok>)) }',
+  update='INSERT { ?n <urn:bad> <urn:o> . ?s <urn:ok> "y" }\n'
+         'WHERE { ?s <urn:name> ?n }',
+  rows=[[3, 3.0]], vars=["bad", "good"])
 
-# ---- xsd:date constructor cast + comparison over date values ----
-q("cast-date-then-compare", "data/dates.nt",
-  'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n'
-  'SELECT ?s WHERE { ?s <urn:on> ?d\n'
-  '  FILTER(?d < xsd:date("2010-06-01")) }',
-  rows=[["<urn:d1>"]], vars=["s"])
+# ---- a solution leaving a template variable unbound produces no quad
+# for that row (and deletes nothing for a DELETE row) ----
+q("upd-delete-unbound-skip", "data/people.nt",
+  'SELECT ?s WHERE { ?s <urn:age> ?a }',
+  update='DELETE { ?s <urn:age> ?x }\n'
+         'WHERE { ?s <urn:name> ?n OPTIONAL { ?s <urn:missing> ?x } }',
+  rows=[["<urn:alice>"], ["<urn:bob>"]], vars=["s"])
 
-# ---- AVG over a group containing a non-numeric member errors ----
-q("agg-avg-error-member-unbound", "data/misc.nt",
-  'SELECT (AVG(?o) AS ?a) WHERE { <urn:x2> ?p ?o }',
-  rows=[[None]], vars=["a"])
+# ---- blank nodes prohibited in every DELETE form ----
+q("updbad-delete-data-bnode", "data/people.nt", None,
+  update='DELETE DATA { _:b <urn:name> "x" }', type="update-negative")
+q("updbad-delete-where-bnode", "data/people.nt", None,
+  update='DELETE WHERE { _:b <urn:name> ?n }', type="update-negative")
+q("updbad-delete-template-bnode", "data/people.nt", None,
+  update='DELETE { _:b <urn:p> ?o } WHERE { ?s <urn:p> ?o }',
+  type="update-negative")
 
-# ---- STRENDS argument compatibility (§17.4.3.1): same-tag ok,
-#      cross-tag is a type error ----
-q("strends-lang-compat", "data/people.nt",
-  'ASK { <urn:bob> <urn:name> ?n FILTER(STRENDS(?n, "ob"@en)) }',
-  boolean=True)
-q("strends-lang-incompat-error", "data/people.nt",
-  'ASK { <urn:bob> <urn:name> ?n FILTER(STRENDS(?n, "ob"@fr)) }',
-  boolean=False)
+# ---- USING overrides WITH for the WHERE pattern; inserts still go to
+# the WITH graph ----
+q("upd-using-overrides-with", "data/quads.nq",
+  'SELECT ?s WHERE { GRAPH <urn:tgt> { ?s <urn:flag> "f" } }',
+  update='WITH <urn:tgt>\n'
+         'INSERT { ?s <urn:flag> "f" }\n'
+         'USING <urn:g1>\n'
+         'WHERE { ?s ?p ?o }',
+  rows=[["<urn:g1s>"]], vars=["s"])
 
-# ---- ORDER BY dateTime + LIMIT: the instant key must survive the
-#      TakeOrderedAndProject fusion (try_cast in a sort expression) ----
-q("order-by-datetime-limit-topk", "data/tzorder.nt",
-  'SELECT ?s WHERE { ?s <urn:when> ?w } ORDER BY DESC(?w) LIMIT 2',
-  rows=[["<urn:e2>"], ["<urn:e3>"]], vars=["s"], ordered=True)
-
-# ---- ORDER BY total order: bnodes < IRIs < literals (§15.1) ----
-q("order-by-term-kind-rank", "data/kinds.nt",
-  'SELECT ?o WHERE { <urn:k> <urn:p> ?o } ORDER BY ?o',
-  rows=[["_:b1"], ["<urn:iri1>"], ['"zlit"']], vars=["o"], ordered=True)
+# ---- op 2 of a sequence sees op 1's effects ----
+q("upd-sequence-sees-prior", "data/people.nt",
+  'SELECT ?p WHERE { <urn:dave> ?p ?o } ORDER BY ?p',
+  update='INSERT DATA { <urn:dave> <urn:name> "Dave" } ;\n'
+         'INSERT { ?s <urn:seen> "1" } WHERE { ?s <urn:name> "Dave" }',
+  rows=[["<urn:name>"], ["<urn:seen>"]], vars=["p"])
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1060,8 +1061,13 @@ class _Planner:
                     raise SyntaxError(
                         f"SPARQL: BIND would rebind in-scope variable ?{el[2]}"
                     )
-                col, _k = self.eval_expr(el[1], df)
+                df, bexpr, markers = self._materialize_exists(
+                    df, el[1], maybe_unbound
+                )
+                col, _k = self.eval_expr(bexpr, df)
                 df = df.withColumn(el[2], E.bind_safe(col))
+                if markers:
+                    df = df.drop(*markers)
                 maybe_unbound.add(el[2])  # expression errors -> unbound
             elif kind == "values":
                 vt = self.eval_values(el)
@@ -1092,6 +1098,58 @@ class _Planner:
             report_unbound.update(maybe_unbound)
         return df
 
+    def _materialize_exists(self, df: DataFrame, expr, wildcard: set):
+        """Rewrite ``("exists", group, negate)`` nodes ANYWHERE inside a
+        value expression into boolean marker COLUMNS, so EXISTS works in
+        every expression position (§17.4.1.4 evaluates it per solution:
+        BIND, ``||``/``!``, IF, SELECT expressions, ORDER BY — not just
+        as a top-level FILTER conjunct, which _apply_filters plans as a
+        semi-join).
+
+        Returns ``(df', expr', markers)``: each marker holds TRUE iff
+        the sub-pattern has a compatible solution for that row.  The
+        flag is computed with the same exists_filter semantics (incl.
+        null-as-unbound wildcards) over the DISTINCT shared-variable key
+        set, then re-attached with a null-safe equi-join — one
+        aggregation + one join per EXISTS node, no row multiplication.
+        Callers drop ``markers`` after evaluating ``expr'``."""
+        markers: list[str] = []
+
+        def walk(e):
+            nonlocal df
+            if isinstance(e, list):
+                return [walk(x) for x in e]
+            if not isinstance(e, tuple):
+                return e
+            if e[0] == "exists":
+                sub = self.eval_group(e[1])
+                shared = [c for c in df.columns if c in set(sub.columns)]
+                self._exv_n = getattr(self, "_exv_n", 0) + 1
+                name = f"__exv{self._exv_n}"
+                if not shared:
+                    # no shared vars: the flag is row-independent
+                    df = df.withColumn(name, F.lit(bool(sub.take(1))))
+                else:
+                    keys = df.select(*shared).distinct()
+                    matched = A.exists_filter(
+                        keys, sub, negate=False, wildcard_cols=wildcard
+                    ).withColumn(name, F.lit(True))
+                    for c in shared:
+                        matched = matched.withColumnRenamed(c, f"__exk_{c}")
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [df[c].eqNullSafe(matched[f"__exk_{c}"]) for c in shared],
+                    )
+                    df = df.join(matched, on=cond, how="left").drop(
+                        *[f"__exk_{c}" for c in shared]
+                    )
+                markers.append(name)
+                return ("existsval", name, e[2])
+            return tuple(walk(x) for x in e)
+
+        rewritten = walk(expr)  # walk reassigns df — rewrite FIRST
+        return df, rewritten, markers
+
     def _apply_filters(self, df: DataFrame, filters: list, wildcard: set) -> DataFrame:
         """Apply FILTER expressions to a solution set.  Top-level && is
         split so EXISTS conjuncts can be planned as semi/anti joins
@@ -1114,8 +1172,13 @@ class _Planner:
                         df, self.eval_group(f[1]), negate=f[2], wildcard_cols=wildcard
                     )
                 else:
+                    # EXISTS nested below the top-level conjuncts (inside
+                    # ||, !, IF, ...) becomes a per-row boolean column
+                    df, f, markers = self._materialize_exists(df, f, wildcard)
                     col, k = self.eval_expr(f, df)
                     df = df.filter(E.filter_cond(self.to_bool(col, k)))
+                    if markers:
+                        df = df.drop(*markers)
         return df
 
     def eval_union(self, node, report_unbound: set | None = None) -> DataFrame:
@@ -1530,8 +1593,19 @@ class _Planner:
             return col, _EXPR_NUM
         if kind == "call":
             return self.eval_call(e[1], e[2], df)
+        if kind == "existsval":
+            # marker column from _materialize_exists: unmatched left-join
+            # rows carry NULL = "no compatible solution" -> false
+            col = F.coalesce(F.col(e[1]), F.lit(False))
+            return (~col if e[2] else col), _EXPR_BOOL
         if kind == "exists":
-            raise ValueError("SPARQL: EXISTS is only supported as a top-level FILTER")
+            # every expression entry point materializes EXISTS first; only
+            # aggregated contexts (HAVING / grouped projections) still
+            # reach here
+            raise ValueError(
+                "SPARQL: EXISTS is not supported inside aggregated "
+                "HAVING/projection expressions"
+            )
         if kind == "agg":
             # a static scope error (nested aggregate, or an aggregate in
             # FILTER/BIND), same class as the other §19.8 static checks
@@ -2179,21 +2253,28 @@ class _Planner:
 
         def apply_order(d: DataFrame) -> DataFrame:
             keys: list[Column] = []
+            drop: list[str] = []
             for e, asc in q.order_by:
+                d, e, markers = self._materialize_exists(d, e, inner_unbound)
+                drop += markers
                 col, k = self.eval_expr(e, d)
                 if k == _EXPR_TERM:
                     keys.extend(E.order_key(col, ascending=asc))
                 else:
                     keys.append(col if asc else col.desc())
-            return d.orderBy(*keys)
+            d = d.orderBy(*keys)
+            return d.drop(*drop) if drop else d
 
         if aggregated:
             pass  # ordering already applied pre-projection above
         else:
             for alias, e in q.projections:
                 if e is not None:
+                    df, e, markers = self._materialize_exists(df, e, inner_unbound)
                     col, _k = self.eval_expr(e, df)
                     df = df.withColumn(alias, col)
+                    if markers:
+                        df = df.drop(*markers)
             if q.distinct or q.reduced:
                 # projection first, then dedup; ORDER keys must be projected
                 if not q.select_all:

@@ -1,9 +1,12 @@
-"""Round-5j batch: xsd:dateTime/xsd:date constructor casts must
-validate FIELD RANGES (month<=12, day valid for month, hour<=23), not
-just the lexical shape — §17.5 casting via XPath constructor functions
-makes an out-of-range lexical a type error.  Plus the two XSD-legal
-forms a naive timestamp cast rejects: T24:00:00 end-of-day and a
-timezoned xsd:date.
+"""Round-5j batch: EXISTS as a VALUE EXPRESSION (§17.4.1.4 — evaluated
+per solution in ANY expression position, not only as a top-level FILTER
+conjunct): BIND(EXISTS{} AS ?v), EXISTS under || and ! inside FILTER,
+EXISTS inside IF() in a SELECT expression, ORDER BY EXISTS, and the
+no-shared-variables form (row-independent flag).
+
+Engine mechanics under test: _materialize_exists rewrites each EXISTS
+node into a boolean marker column (distinct-key semi-join + null-safe
+re-attach), so these cases also pin the no-row-multiplication property.
 
 Run from tests/w3c/:  python gen_r5j.py
 """
@@ -13,56 +16,63 @@ import json
 CASES = []
 
 
-def q(name, data, query, rows=None, vars=None, boolean=None, ordered=False,
-      type=None):
+def q(name, data, query, rows=None, vars=None, boolean=None, ordered=False):
     with open(f"queries/{name}.rq", "w") as f:
         f.write(query + "\n")
-    entry = {"name": name, "data": data, "query": f"queries/{name}.rq"}
-    if type:
-        entry["type"] = type
-    else:
-        exp = {"boolean": boolean} if boolean is not None else (
-            {"vars": vars, "rows": rows, **({"ordered": True} if ordered else {})})
-        with open(f"expected/{name}.json", "w") as f:
-            json.dump(exp, f, indent=1)
-        entry["result"] = f"expected/{name}.json"
-    CASES.append(entry)
+    exp = {"boolean": boolean} if boolean is not None else (
+        {"vars": vars, "rows": rows, **({"ordered": True} if ordered else {})})
+    with open(f"expected/{name}.json", "w") as f:
+        json.dump(exp, f, indent=1)
+    CASES.append({"name": name, "data": data, "query": f"queries/{name}.rq",
+                  "result": f"expected/{name}.json"})
 
 
-XSD = "http://www.w3.org/2001/XMLSchema#"
-P = f"PREFIX xsd: <{XSD}>\n"
+# people.nt: alice knows bob; alice age 30, bob age 25, carol no age
+q("bind-exists-expr", "data/people.nt",
+  'SELECT ?s ?e WHERE { ?s <urn:age> ?a\n'
+  '  BIND(EXISTS { ?s <urn:knows> ?k } AS ?e) }',
+  rows=[["<urn:alice>", True], ["<urn:bob>", False]],
+  vars=["s", "e"])
 
-# out-of-range fields -> cast error -> unbound projection
-q("cast-datetime-month-13-error", "data/misc.nt",
-  P + 'SELECT (xsd:dateTime("2010-13-40T99:99:99") AS ?c)\n'
-      'WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[None]], vars=["c"])
-q("cast-date-feb-31-error", "data/misc.nt",
-  P + 'SELECT (xsd:date("2010-02-31") AS ?c) WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[None]], vars=["c"])
-q("cast-datetime-hour-99-error", "data/misc.nt",
-  P + 'SELECT (xsd:dateTime("2010-01-15T99:00:00") AS ?c)\n'
-      'WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[None]], vars=["c"])
+q("bind-not-exists-expr", "data/people.nt",
+  'SELECT ?s ?e WHERE { ?s <urn:age> ?a\n'
+  '  BIND(NOT EXISTS { ?s <urn:knows> ?k } AS ?e) }',
+  rows=[["<urn:alice>", False], ["<urn:bob>", True]],
+  vars=["s", "e"])
 
-# XSD-legal forms that a plain timestamp cast would reject
-q("cast-datetime-t24-end-of-day", "data/misc.nt",
-  P + 'SELECT (xsd:dateTime("2010-01-15T24:00:00") AS ?c)\n'
-      'WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[f'"2010-01-15T24:00:00"^^<{XSD}dateTime>']], vars=["c"])
-q("cast-date-with-timezone", "data/misc.nt",
-  P + 'SELECT (xsd:date("2010-01-15Z") AS ?c) WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[f'"2010-01-15Z"^^<{XSD}date>']], vars=["c"])
-q("cast-date-negative-year", "data/misc.nt",
-  P + 'SELECT (xsd:date("-0044-03-15") AS ?c) WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[f'"-0044-03-15"^^<{XSD}date>']], vars=["c"])
+q("filter-exists-in-or", "data/people.nt",
+  'SELECT ?s WHERE { ?s <urn:age> ?a\n'
+  '  FILTER(?a > 29 || EXISTS { ?s <urn:knows> ?k }) }',
+  rows=[["<urn:alice>"]], vars=["s"])
 
-# T24 with a nonzero fraction is NOT in the lexical space (24:00:00
-# only, §3.2.7 of XML Schema datatypes)
-q("cast-datetime-t24-frac-error", "data/misc.nt",
-  P + 'SELECT (xsd:dateTime("2010-01-15T24:00:00.5") AS ?c)\n'
-      'WHERE { <urn:x1> <urn:v> ?o }',
-  rows=[[None]], vars=["c"])
+q("filter-bang-exists-in-or", "data/people.nt",
+  'SELECT ?s WHERE { ?s <urn:age> ?a\n'
+  '  FILTER(?a < 29 || !(EXISTS { ?s <urn:knows> ?k })) }',
+  rows=[["<urn:bob>"]], vars=["s"])
+
+q("select-if-exists", "data/people.nt",
+  'SELECT ?s (IF(EXISTS { ?s <urn:knows> ?k }, "social", "loner") AS ?t)\n'
+  'WHERE { ?s <urn:age> ?a }',
+  rows=[["<urn:alice>", "social"], ["<urn:bob>", "loner"]],
+  vars=["s", "t"])
+
+q("order-by-exists-key", "data/people.nt",
+  'SELECT ?s WHERE { ?s <urn:age> ?a }\n'
+  'ORDER BY DESC(EXISTS { ?s <urn:knows> ?k }) ?s',
+  rows=[["<urn:alice>"], ["<urn:bob>"]], vars=["s"], ordered=True)
+
+# no shared variables: the sub-pattern's truth is row-independent
+q("exists-no-shared-vars", "data/people.nt",
+  'SELECT ?s (EXISTS { <urn:alice> <urn:knows> <urn:bob> } AS ?e)\n'
+  'WHERE { ?s <urn:age> ?a }',
+  rows=[["<urn:alice>", True], ["<urn:bob>", True]],
+  vars=["s", "e"])
+
+# two EXISTS under one || — both materialized, either may satisfy
+q("filter-two-exists-or", "data/people.nt",
+  'SELECT ?s WHERE { ?s <urn:age> ?a\n'
+  '  FILTER(EXISTS { ?s <urn:knows> ?k } || EXISTS { ?w <urn:knows> ?s }) }',
+  rows=[["<urn:alice>"], ["<urn:bob>"]], vars=["s"])
 
 
 if __name__ == "__main__":

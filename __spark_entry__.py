@@ -660,6 +660,23 @@ def q_sparql_optional_filter_cond(spark, sf_dir):
     """)
 
 
+def q_sparql_bind_exists(spark, sf_dir):
+    """SPARQL front-end: EXISTS as a VALUE EXPRESSION (§17.4.1.4) —
+    evaluated per solution inside IF() in a SELECT expression, not as a
+    FILTER conjunct.  The planner materializes it as a boolean marker
+    column (distinct-key semi-join + null-safe re-attach,
+    query/sparql.py::_materialize_exists); for each nation: 1 iff some
+    customer there has the MACHINERY segment."""
+    from halyard_spark.query.sparql import sparql_select
+
+    return sparql_select(_tpch_triples_ctx(spark, sf_dir), """
+        PREFIX p: <urn:p:>
+        SELECT ?nat (IF(EXISTS { ?c p:inNation ?nat .
+                                 ?c p:mktsegment "MACHINERY" }, 1, 0) AS ?has_m)
+        WHERE { ?nat p:inRegion ?reg }
+    """)
+
+
 def q_sparql_construct(spark, sf_dir):
     """SPARQL CONSTRUCT through the parser -> multi_projection templates
     (the reference's RDF-export query form, HalyardExport.java:473-539)."""
@@ -1254,6 +1271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_filter_order": q_sparql_filter_order,
     "sparql_optional_values": q_sparql_optional_values,
     "sparql_optional_filter_cond": q_sparql_optional_filter_cond,
+    "sparql_bind_exists": q_sparql_bind_exists,
     "sparql_bgp_group": q_sparql_bgp_group,
     # --- de-vacuousized this round (must show spark_rows > 0)
     "corpus_filter": q_corpus_filter,
@@ -1841,6 +1859,15 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT '<urn:customer:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
                '<urn:p:label>' AS pred, '"' || c_name || '"' AS obj
         FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "sparql_bind_exists": """
+        SELECT '<urn:nation:' || CAST(n_nationkey AS VARCHAR) || '>' AS nat,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM customer
+                   WHERE c_nationkey = n_nationkey
+                     AND c_mktsegment = 'MACHINERY'
+               ) THEN 1 ELSE 0 END AS has_m
+        FROM nation
     """,
     "sparql_graph": """
         SELECT ctx AS g, COUNT(*) AS n FROM ({quads}) GROUP BY ctx

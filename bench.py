@@ -259,6 +259,18 @@ def write_baseline_md(result: dict) -> None:
                 "samples and every invocation's own ratio are kept in",
                 "BENCH/scaling_cache.json; cross-invocation best-per-level",
                 "numbers are informational only.",
+                "",
+                "Codec investigation (round 5): zstd for shuffle+parquet",
+                "(SPARK_GRAFT_CODEC knob) was A/B-tested as a",
+                "bandwidth-for-CPU trade.  At the pinned 8-core leg in",
+                "bandwidth-starved windows it won consistently (+11%/+32%,",
+                "both orders); at 2 cores it lost ~11% (CPU-bound); at the",
+                "headline local[32] width it LOST decisively in interleaved",
+                "runs (74.6k vs 52.0k, 147.9k vs 40.8k t/s) — full width is",
+                "CPU-saturated and compression steals exactly that CPU.",
+                "Spark defaults (lz4 shuffle / snappy parquet) are kept:",
+                "switching codecs only on the narrow legs would inflate the",
+                "scaling ratio without helping the real workload.",
             ]
     lines += [
         "",

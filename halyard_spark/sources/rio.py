@@ -380,7 +380,21 @@ def read_rdf(spark, path, fmt: str | None = None, metrics=None) -> DataFrame:
                 expanded.append((p, False))
         groups: dict[str, list[str]] = {}
         for p, from_expansion in expanded:
+            name = _os.path.basename(p)
+            if from_expansion and (
+                name.startswith((".", "_")) or name.endswith(".crc")
+            ):
+                # Spark/Hadoop sink bookkeeping (_SUCCESS, .*.crc,
+                # _committed, dotfiles): expected directory furniture,
+                # skipped without noise — the same hiddenFileFilter every
+                # Hadoop input format applies
+                continue
             f = _rdf_format_of(p, default=None if from_expansion else "ntriples")
+            if f is None and from_expansion and name.startswith("part-"):
+                # a Spark sink's own data files (export_ntriples writes
+                # part-*.txt): these ARE this engine's N-Triples output,
+                # so reading the directory back round-trips
+                f = "ntriples"
             if f is None:
                 warnings.warn(f"read_rdf: skipping non-RDF extension {p!r}", stacklevel=2)
                 if metrics is not None:

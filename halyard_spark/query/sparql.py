@@ -234,6 +234,16 @@ class _Parser:
                         break
                 if not q.projections:
                     raise SyntaxError("SPARQL: SELECT needs '*' or at least one projection")
+                # §18.2.4.2: a variable may appear at most once in the
+                # SELECT clause, and an AS target must not already be
+                # selected (the official syn-bad duplicate-AS shapes)
+                seen: set = set()
+                for v, _e in q.projections:
+                    if v in seen:
+                        raise SyntaxError(
+                            f"SPARQL: variable ?{v} appears more than once in SELECT"
+                        )
+                    seen.add(v)
         elif q.form == "construct":
             if self.peek().kind == "OP" and self.peek().value == "{":
                 q.template = self.parse_group()
@@ -276,8 +286,25 @@ class _Parser:
                         "SPARQL: CONSTRUCT WHERE shortform allows only triple patterns"
                     )
             q.template = q.where
+        # grammar §19.8 SolutionModifier fixes the clause order: GroupClause?
+        # HavingClause? OrderClause? LimitOffsetClauses? — each at most once
+        mod_rank = 0
+
+        def mod(clause: str, rank: int, allow_same: bool = False) -> None:
+            # allow_same: LIMIT and OFFSET share rank 4 and may come in
+            # either order (LimitOffsetClauses); each-at-most-once is
+            # checked at their parse sites
+            nonlocal mod_rank
+            if rank < mod_rank or (rank == mod_rank and not allow_same):
+                raise SyntaxError(
+                    f"SPARQL: {clause} out of order (solution modifiers are "
+                    "GROUP BY, HAVING, ORDER BY, then LIMIT/OFFSET)"
+                )
+            mod_rank = rank
+
         while True:
             if self.accept("KW", "group"):
+                mod("GROUP BY", 1)
                 self.expect("KW", "by")
                 # GroupCondition: ?var | (expr) | (expr AS ?var) | BuiltInCall
                 while True:
@@ -300,10 +327,18 @@ class _Parser:
                     else:
                         break
             elif self.accept("KW", "having"):
+                mod("HAVING", 2)
+                # HavingClause ::= 'HAVING' HavingCondition+ — one clause,
+                # one or more bracketted conditions
                 self.expect("OP", "(")
                 q.having.append(self.parse_expr())
                 self.expect("OP", ")")
+                while self.peek().kind == "OP" and self.peek().value == "(":
+                    self.expect("OP", "(")
+                    q.having.append(self.parse_expr())
+                    self.expect("OP", ")")
             elif self.accept("KW", "order"):
+                mod("ORDER BY", 3)
                 self.expect("KW", "by")
                 n_before_order = len(q.order_by)
                 while True:
@@ -332,9 +367,20 @@ class _Parser:
                 if len(q.order_by) == n_before_order:
                     raise SyntaxError("SPARQL: ORDER BY needs at least one condition")
             elif self.accept("KW", "limit"):
+                # grammar: LIMIT INTEGER (unsigned, at most once)
+                mod("LIMIT", 4, allow_same=True)
+                if q.limit is not None:
+                    raise SyntaxError("SPARQL: LIMIT given twice")
                 q.limit = int(self.expect("NUM").value)
+                if q.limit < 0:
+                    raise SyntaxError("SPARQL: LIMIT must be a non-negative integer")
             elif self.accept("KW", "offset"):
+                mod("OFFSET", 4, allow_same=True)
+                if q.offset:
+                    raise SyntaxError("SPARQL: OFFSET given twice")
                 q.offset = int(self.expect("NUM").value)
+                if q.offset < 0:
+                    raise SyntaxError("SPARQL: OFFSET must be a non-negative integer")
             elif self.accept("KW", "values"):
                 q.values_clause = self.parse_values()  # trailing VALUES
             elif self.peek().kind == "EOF" or (
@@ -439,7 +485,12 @@ class _Parser:
         else:
             self.expect("OP", "(")
             while self.peek().kind == "VAR":
-                vars_.append(self.next().value[1:])
+                v = self.next().value[1:]
+                if v in vars_:
+                    raise SyntaxError(
+                        f"SPARQL: variable ?{v} appears more than once in VALUES"
+                    )
+                vars_.append(v)
             self.expect("OP", ")")
         self.expect("OP", "{")
         rows = []

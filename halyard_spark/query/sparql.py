@@ -183,15 +183,28 @@ class _Parser:
             return True
         return False
 
+    def _resolve(self, iri: str) -> str:
+        """RFC 3986 reference resolution against the in-scope BASE —
+        `<doc>`, `<../p>`, `</abs>` all resolve; absolute IRIs pass
+        through (simple concatenation would mangle dot-segments)."""
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, iri)
+        return iri
+
     # -- grammar
     def parse(self) -> Query:
         while True:
             if self.accept("KW", "prefix"):
                 pname = self.expect("PNAME").value
                 iri = self.expect("IRI").value
-                self.prefixes[pname.rstrip(":")] = iri[1:-1]
+                # a relative prefix IRI resolves against the BASE in
+                # scope at the declaration (Turtle/SPARQL shared rule)
+                self.prefixes[pname.rstrip(":")] = self._resolve(iri[1:-1])
             elif self.accept("KW", "base"):
-                self.base = self.expect("IRI").value[1:-1]
+                # successive BASE declarations resolve against the prior
+                self.base = self._resolve(self.expect("IRI").value[1:-1])
             else:
                 break
         q = self.parse_query_body()
@@ -674,10 +687,7 @@ class _Parser:
             # labeled pattern bnode: acts as a variable scoped to the query
             return ("var", "__bnode_" + t.value[2:])
         if t.kind == "IRI":
-            iri = t.value[1:-1]
-            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
-                iri = self.base + iri
-            return ("iri", iri)
+            return ("iri", self._resolve(t.value[1:-1]))
         if t.kind == "PNAME":
             prefix, _, local = t.value.partition(":")
             if prefix not in self.prefixes:
@@ -2538,9 +2548,9 @@ def _parse_update_ops(parser: _Parser) -> list:
         if parser.accept("KW", "prefix"):
             pname = parser.expect("PNAME").value
             iri = parser.expect("IRI").value
-            parser.prefixes[pname.rstrip(":")] = iri[1:-1]
+            parser.prefixes[pname.rstrip(":")] = parser._resolve(iri[1:-1])
         elif parser.accept("KW", "base"):
-            parser.base = parser.expect("IRI").value[1:-1]
+            parser.base = parser._resolve(parser.expect("IRI").value[1:-1])
         else:
             break
     ops = []

@@ -354,13 +354,24 @@ def test_having_aggregate_on_right(spark, tree):
         nt.iri(EX + "a"), nt.iri(EX + "b"), nt.iri(EX + "x")}
 
 
-def test_having_conjunction_and_two_clauses(spark, tree):
+def test_having_conjunction_and_two_conditions(spark, tree):
+    # grammar §19.8: ONE HavingClause with HavingCondition+ — multiple
+    # bracketted conditions AND within the clause.  (A repeated HAVING
+    # keyword is a syntax error since the round-5 modifier-order
+    # enforcement; the old two-clause spelling asserted the pre-strict
+    # leniency.)
     out = sparql_query(tree, PREFIXES + """
         SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
-        GROUP BY ?s HAVING (COUNT(*) >= 1 && COUNT(*) <= 2)
-        HAVING (COUNT(?p) = 1)""")
+        GROUP BY ?s HAVING (COUNT(*) >= 1 && COUNT(*) <= 2) (COUNT(?p) = 1)""")
     assert {r["s"] for r in out.collect()} == {nt.iri(EX + "c")}
     assert "__having" not in "".join(out.columns)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        sparql_query(tree, PREFIXES + """
+            SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+            GROUP BY ?s HAVING (COUNT(*) >= 1) HAVING (COUNT(?p) = 1)""")
 
 
 # ----------------------------------------- term-preserving MIN/MAX/SAMPLE

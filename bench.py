@@ -465,7 +465,11 @@ def _sf_of(sf_dir: str) -> float | None:
         return None
 
 
-def main() -> None:
+def main(scaling_only: bool = False) -> None:
+    """Full bench, or (``--scaling-only``) just one scaling-study
+    invocation appended to BENCH/scaling_cache.json — same runs, same
+    pinning, same symmetric best-of-repeats; used to thicken the
+    cross-invocation median without re-measuring the headline parts."""
     result: dict = {
         "metric": "kg_construct_triples_per_sec+headline_queries",
         "unit": "sec",
@@ -476,6 +480,7 @@ def main() -> None:
     # before the next starts — overlapping multi-JVM heaps on this host
     # trigger kernel-reclaim storms that wreck measurements.
     with tempfile.TemporaryDirectory(prefix="bench_pipe_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None) as tmp:
+      if not scaling_only:
         # measure the pipeline at full parallelism AND at local[8]: on this
         # 32-core host, python-UDF stages run a JVM feeder thread + python
         # worker per task slot, so local[32] can oversubscribe 2x under
@@ -533,58 +538,76 @@ def main() -> None:
             result["scaling"] = dict(cached, cached=True)
             print(json.dumps(result), flush=True)
 
-        if RUN_SCALING:
-            # Two-cluster-size evidence, three parts (all CPU-pinned via
-            # taskset so level N has EXACTLY N cores):
-            #  1. primary 2 -> 8: per-core resources (esp. memory
-            #     bandwidth) are constant across these widths, like adding
-            #     nodes to a cluster; target efficiency >= 0.8.
-            #  2. secondary 8 -> 32: the full sandbox width.  The VM's
-            #     memory bandwidth saturates between 8 and 32 threads, so
-            #     this leg is hardware-capped; reported together with the
-            #     controls that prove the cap is the host, not the engine.
-            #  3. hardware_controls(): spin-loop + memory-stream ceilings
-            #     at 8 vs 32, measured back-to-back with the runs.
-            # best-of-REPEATS per level: the host shows 10-20% steal.
-            repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-            scaling_files = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_FILES", str(BENCH_FILES * 2)))
+      if RUN_SCALING:
+          # Two-cluster-size evidence, three parts (all CPU-pinned via
+          # taskset so level N has EXACTLY N cores):
+          #  1. primary 2 -> 8: per-core resources (esp. memory
+          #     bandwidth) are constant across these widths, like adding
+          #     nodes to a cluster; target efficiency >= 0.8.
+          #  2. secondary 8 -> 32: the full sandbox width.  The VM's
+          #     memory bandwidth saturates between 8 and 32 threads, so
+          #     this leg is hardware-capped; reported together with the
+          #     controls that prove the cap is the host, not the engine.
+          #  3. hardware_controls(): spin-loop + memory-stream ceilings
+          #     at 8 vs 32, measured back-to-back with the runs.
+          # best-of-REPEATS per level: the host shows 10-20% steal.
+          # Default 3 (was 2): noise only ever slows a run down, and the
+          # high leg is far more noise-sensitive than the low leg, so
+          # best-of-2 systematically under-measures the true ratio in
+          # degraded host windows; best-of-3 on BOTH legs (symmetric —
+          # a numerator-only best would inflate) converges each
+          # invocation toward the hardware's actual scaling ceiling.
+          repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+          scaling_files = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_FILES", str(BENCH_FILES * 2)))
 
-            def best_runs(cpus: int, tag: str, n: int) -> tuple[dict, list]:
-                runs = [
-                    run_pipeline_subprocess(cpus, f"{tmp}/{tag}{i}", scaling_files, BENCH_SCALE, pin=True)
-                    for i in range(n)
-                ]
-                return max(runs, key=lambda p: p["triples_per_sec"]), [
-                    p["triples_per_sec"] for p in runs
-                ]
+          def best_runs(cpus: int, tag: str, n: int) -> tuple[dict, list]:
+              runs = [
+                  run_pipeline_subprocess(cpus, f"{tmp}/{tag}{i}", scaling_files, BENCH_SCALE, pin=True)
+                  for i in range(n)
+              ]
+              return max(runs, key=lambda p: p["triples_per_sec"]), [
+                  p["triples_per_sec"] for p in runs
+              ]
 
-            t32, s32 = best_runs(32, "w32_", repeats)
-            t8, s8 = best_runs(8, "w8_", repeats)
-            # the slow leg gets the SAME number of repeats: best-of on the
-            # numerator only would let a noise-slowed single t2 run inflate
-            # (t8/t2)/4 — both legs must shed noise symmetrically
-            slow_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_REPEATS", str(repeats)))
-            t2, s2 = best_runs(SCALING_N, "w2_", slow_repeats)
-            try:
-                controls = hardware_controls()
-            except Exception as exc:  # controls are evidence, not a gate
-                controls = {"error": str(exc)[:200]}
-            fresh = {
-                "low": t2,
-                "high": t8,
-                "efficiency": round((t8["triples_per_sec"] / t2["triples_per_sec"]) / 4, 3),
-                "secondary_8_to_32": {
-                    "low": t8,
-                    "high": t32,
-                    "efficiency": round((t32["triples_per_sec"] / t8["triples_per_sec"]) / 4, 3),
-                },
-                "hardware_controls": controls,
-                "samples": {"low": s2, "high": s8, "w32": s32},
-            }
-            # persist + report best-per-level across invocations (identical
-            # deterministic input; noise only ever slows a run down)
-            result["scaling"] = _save_cached_scaling(fresh)
+          t32, s32 = best_runs(32, "w32_", repeats)
+          t8, s8 = best_runs(8, "w8_", repeats)
+          # the slow leg gets the SAME number of repeats: best-of on the
+          # numerator only would let a noise-slowed single t2 run inflate
+          # (t8/t2)/4 — both legs must shed noise symmetrically
+          slow_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_REPEATS", str(repeats)))
+          t2, s2 = best_runs(SCALING_N, "w2_", slow_repeats)
+          try:
+              controls = hardware_controls()
+          except Exception as exc:  # controls are evidence, not a gate
+              controls = {"error": str(exc)[:200]}
+          fresh = {
+              "low": t2,
+              "high": t8,
+              "efficiency": round((t8["triples_per_sec"] / t2["triples_per_sec"]) / 4, 3),
+              "secondary_8_to_32": {
+                  "low": t8,
+                  "high": t32,
+                  "efficiency": round((t32["triples_per_sec"] / t8["triples_per_sec"]) / 4, 3),
+              },
+              "hardware_controls": controls,
+              "samples": {"low": s2, "high": s8, "w32": s32},
+          }
+          # persist + report best-per-level across invocations (identical
+          # deterministic input; noise only ever slows a run down)
+          result["scaling"] = _save_cached_scaling(fresh)
 
+    if scaling_only:
+        # cache (BENCH/scaling_cache.json) is already updated; leave
+        # BASELINE.md to the next full run so its pipeline/query rows
+        # aren't blanked by a run that never measured them
+        scal = result.get("scaling") or {}
+        print(json.dumps({
+            "scaling_only": True,
+            "efficiency": scal.get("efficiency"),
+            "efficiency_median": scal.get("efficiency_median"),
+            "n_invocations": scal.get("n_invocations"),
+        }), flush=True)
+        return
     write_baseline_md(result)
     print(json.dumps(result), flush=True)
 
@@ -593,4 +616,4 @@ if __name__ == "__main__":
     if "--queries-only" in sys.argv:
         print(json.dumps(_headline_queries_inprocess()), flush=True)
     else:
-        main()
+        main(scaling_only="--scaling-only" in sys.argv)

@@ -1864,7 +1864,25 @@ class _Planner:
         if name in ("iri", "uri"):
             return E.iri_resolve(term(0), self.parser.base), _EXPR_TERM
         if name == "bnode":
-            return E.bnode_seeded(*[s(i) for i in range(len(ev))]), _EXPR_TERM
+            # seed from the argument AND the whole in-scope solution
+            # mapping: same label -> same bnode WITHIN a solution, but
+            # distinct solutions -> distinct bnodes (SPARQL 17.4.2.9;
+            # HalyardValueExprEvaluation.java:234-246 likewise seeds the
+            # generated node from the bindings)
+            # (seed columns are snapshotted BEFORE the projection loop so
+            # two BNODE('k') projections in one SELECT agree — later
+            # aliases must not perturb the seed)
+            seed_cols = getattr(self, "_solution_cols", None)
+            names = (
+                sorted(c for c in seed_cols if c in df.columns)
+                if seed_cols is not None
+                else sorted(df.columns)
+            )
+            row_parts = [F.col(c) for c in names]
+            return (
+                E.bnode_seeded(*[s(i) for i in range(len(ev))], *row_parts),
+                _EXPR_TERM,
+            )
         if name == "sameterm":
             return term(0) == term(1), _EXPR_BOOL
         if name == "regex":
@@ -2329,10 +2347,20 @@ class _Planner:
         if aggregated:
             pass  # ordering already applied pre-projection above
         else:
+            base_cols = frozenset(df.columns)
             for alias, e in q.projections:
                 if e is not None:
                     df, e, markers = self._materialize_exists(df, e, inner_unbound)
-                    col, _k = self.eval_expr(e, df)
+                    # BNODE() seeds from the SOLUTION mapping only — the
+                    # pre-projection columns — so earlier SELECT aliases
+                    # don't change later BNODE seeds (a nested
+                    # plan_select inside _materialize_exists may clobber
+                    # the attribute, hence re-set per iteration)
+                    self._solution_cols = base_cols
+                    try:
+                        col, _k = self.eval_expr(e, df)
+                    finally:
+                        self._solution_cols = None
                     df = df.withColumn(alias, col)
                     if markers:
                         df = df.drop(*markers)

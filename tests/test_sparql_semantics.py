@@ -241,3 +241,29 @@ def test_nt_unescape_numeric_python():
     assert nt.unescape("caf\\u00e9") == "café"
     assert nt.unescape("\\U0001F600") == "😀"
     assert nt.unescape("bad\\uZZZZ") == "baduZZZZ"  # malformed: literal fallback
+
+
+def test_bnode_distinct_per_solution_stable_within(spark):
+    """BNODE(label): same label -> same bnode WITHIN one solution
+    mapping, DISTINCT bnodes across different solutions (SPARQL
+    17.4.2.9); zero-arg BNODE() likewise differs per solution.  Seeding
+    from the whole binding tuple keeps cross-evaluation stability
+    (HalyardValueExprEvaluation.java:234-246)."""
+    from halyard_spark.query.sparql import sparql_query
+
+    df = spark.createDataFrame(
+        [
+            ("<urn:a>", "<urn:p>", '"1"', None),
+            ("<urn:b>", "<urn:p>", '"2"', None),
+        ],
+        "subj string, pred string, obj string, ctx string",
+    )
+    q = (
+        "SELECT ?s (BNODE('k') AS ?b1) (BNODE('k') AS ?b2) "
+        "(BNODE() AS ?b3) WHERE { ?s <urn:p> ?o }"
+    )
+    r = {x.s: (x.b1, x.b2, x.b3) for x in sparql_query(df, q).collect()}
+    assert all(v[0] == v[1] for v in r.values())  # same label, same solution
+    assert r["<urn:a>"][0] != r["<urn:b>"][0]  # distinct solutions differ
+    assert r["<urn:a>"][2] != r["<urn:b>"][2]  # zero-arg differs too
+    assert {x.s: (x.b1, x.b2, x.b3) for x in sparql_query(df, q).collect()} == r

@@ -19,6 +19,8 @@ Three implementations of the same codec, one per execution surface:
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -73,6 +75,26 @@ def unescape(s: str) -> str:
 
 def iri(s: str) -> str:
     return f"<{s}>"
+
+
+# characters an N-Triples IRIREF may not contain (grammar production
+# [8]: anything in <> except ^#x00-#x20<>"{}|^`\ and UCHAR) — the same
+# set RDF4J's ParsedIRI rejects, fatal-erroring the statement/document
+_IRI_BAD = _re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def check_iri(s: str) -> str:
+    """Validate a raw IRI string from UNTRUSTED parser input; raises
+    ValueError so the caller's dirty-parse tolerance counts the skip
+    instead of fabricating a malformed `<...>` term that corrupts every
+    downstream lexical operation."""
+    if not s or _IRI_BAD.search(s):
+        raise ValueError(f"illegal character in IRI: {s!r}")
+    return s
+
+
+def iri_checked(s: str) -> str:
+    return f"<{check_iri(s)}>"
 
 
 def bnode(label: str) -> str:

@@ -2572,17 +2572,25 @@ def _parse_update_ops(parser: _Parser) -> list:
     (tools/.../HalyardBulkUpdate.java:252-288).  Templates and DATA blocks
     may wrap triples in GRAPH <g> { ... }; WITH <g> targets both templates
     and the WHERE pattern (no USING clause given)."""
-    while True:
-        if parser.accept("KW", "prefix"):
-            pname = parser.expect("PNAME").value
-            iri = parser.expect("IRI").value
-            parser.prefixes[pname.rstrip(":")] = parser._resolve(iri[1:-1])
-        elif parser.accept("KW", "base"):
-            parser.base = parser._resolve(parser.expect("IRI").value[1:-1])
-        else:
-            break
+    def prologue():
+        while True:
+            if parser.accept("KW", "prefix"):
+                pname = parser.expect("PNAME").value
+                iri = parser.expect("IRI").value
+                parser.prefixes[pname.rstrip(":")] = parser._resolve(iri[1:-1])
+            elif parser.accept("KW", "base"):
+                parser.base = parser._resolve(parser.expect("IRI").value[1:-1])
+            else:
+                break
+
     ops = []
-    while parser.peek().kind != "EOF":
+    while True:
+        # grammar: Update ::= Prologue ( Update1 ( ';' Update )? )? — every
+        # ';'-separated operation may carry its OWN Prologue, accumulating
+        # into (and overriding) the prefixes/base seen so far
+        prologue()
+        if parser.peek().kind == "EOF":
+            break
         with_ctx = None
         if parser.accept("KW", "with"):
             g = parser.parse_term()

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from urllib.parse import urljoin
+from urllib.parse import quote, urljoin
 
 from halyard_spark import nt
 
@@ -191,7 +191,12 @@ def _expand_iri(value: str, ctx: _Ctx, vocab: bool = False,
         if _has_scheme(value):
             return value
     if vocab:
-        return (ctx.vocab or DEFAULT_VOCAB) + value
+        if ctx.vocab is not None:
+            return ctx.vocab + value
+        # legacy urn:ndjsonld: fallback accepts ARBITRARY JSON keys —
+        # percent-quote so a key with spaces/brackets still yields a
+        # well-formed IRI instead of a corrupt `<...>` lexical
+        return DEFAULT_VOCAB + quote(value, safe=":/#?&=%+~.-_!$'()*,;@")
     if base and ctx.base and not _has_scheme(value) and not value.startswith("_:"):
         return urljoin(ctx.base, value)
     return value
@@ -200,7 +205,7 @@ def _expand_iri(value: str, ctx: _Ctx, vocab: bool = False,
 def _subject_term(sid: str, ctx: _Ctx, scope: str) -> str:
     if sid.startswith("_:"):
         return "_:b" + _sha1(f"{scope}|label|{sid[2:]}")
-    return nt.iri(_expand_iri(sid, ctx, base=True))
+    return nt.iri_checked(_expand_iri(sid, ctx, base=True))
 
 
 _RDF_FIRST = nt.iri(nt.RDF + "first")
@@ -234,7 +239,7 @@ def _value_obj(v: dict, td, ctx: _Ctx) -> str | None:
     if "@type" in v:
         dt = _expand_iri(str(v["@type"]), ctx, vocab=True)
         s = ("true" if val else "false") if isinstance(val, bool) else str(val)
-        return nt.lit(s, dtype=dt)
+        return nt.lit(s, dtype=nt.check_iri(dt))
     if isinstance(val, (bool, int, float)):
         return _native_lit(val)
     lang = None
@@ -289,14 +294,18 @@ def _expand_value(v, td, ctx: _Ctx, out: list, graph, scope: str,
         return _native_lit(v)
     if v is None:
         return None
+    if isinstance(v, list):
+        # only reachable from @list items: JSON-LD 1.0 "list of lists is
+        # not allowed" — an expansion error, never a stringified repr
+        raise ValueError("list of lists in JSON-LD @list value")
     s = str(v)
     if td is not None and td["type"] == "@id":
         iri = _expand_iri(s, ctx, base=True)
-        return _subject_term(s, ctx, scope) if s.startswith("_:") else nt.iri(iri)
+        return _subject_term(s, ctx, scope) if s.startswith("_:") else nt.iri_checked(iri)
     if td is not None and td["type"] == "@vocab":
         if s.startswith("_:"):
             return _subject_term(s, ctx, scope)
-        return nt.iri(_expand_iri(s, ctx, vocab=True))
+        return nt.iri_checked(_expand_iri(s, ctx, vocab=True))
     if td is not None and td["type"]:
         return nt.lit(s, dtype=td["type"])
     lang = None
@@ -346,11 +355,16 @@ def _flatten_values(val, td, ctx: _Ctx) -> list:
     vals = val if isinstance(val, list) else [val]
     flat: list = []
     for v in vals:
+        if isinstance(v, list):
+            # JSON-LD expansion flattens nested arrays recursively
+            # (outside @list, where a list-of-lists is an error instead)
+            flat.extend(_flatten_values(v, td, ctx))
+            continue
         if isinstance(v, dict):
             v = _norm_keys(v, ctx)
         if isinstance(v, dict) and "@set" in v and "@value" not in v:
             inner = v["@set"]
-            flat.extend(inner if isinstance(inner, list) else [inner])
+            flat.extend(_flatten_values(inner, td, ctx))
         else:
             flat.append(v)
     return flat
@@ -381,7 +395,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
             for t in (val if isinstance(val, list) else [val]):
                 iri = _expand_iri(str(t), ctx, vocab=True)
                 if iri:
-                    out.append((subj, _RDF_TYPE, nt.iri(iri), graph))
+                    out.append((subj, _RDF_TYPE, nt.iri_checked(iri), graph))
             continue
         if key == "@graph":
             # named graph when the node is itself identified; otherwise
@@ -398,7 +412,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
                 pred_iri = _expand_iri(rkey, ctx, vocab=True)
                 if pred_iri is None:
                     continue
-                pred = nt.iri(pred_iri)
+                pred = nt.iri_checked(pred_iri)
                 for i, v in enumerate(_flatten_values(rval, None, ctx)):
                     if not isinstance(v, dict) or "@value" in v:
                         raise ValueError("@reverse values must be node objects")
@@ -415,7 +429,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
         pred_iri = td["id"] if td is not None else _expand_iri(key, ctx, vocab=True)
         if not pred_iri:
             continue
-        pred = nt.iri(pred_iri)
+        pred = nt.iri_checked(pred_iri)
         container = td["container"] if td is not None else None
         if container == "@language" and isinstance(val, dict):
             for lang in sorted(val):

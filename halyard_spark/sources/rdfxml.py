@@ -90,8 +90,11 @@ class _RdfXmlWalker:
         import re
 
         if base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
-            return nt.iri(urljoin(base, ref))
-        return nt.iri(ref)
+            # checked: about/resource attribute values are untrusted text;
+            # an illegal char raises and the existing skip-invalid path
+            # counts the file (RDF4J's ParsedIRI fatal-errors the same way)
+            return nt.iri_checked(urljoin(base, ref))
+        return nt.iri_checked(ref)
 
     # ----- node elements
     def node_element(self, el: ET.Element, base: str | None, lang: str | None) -> str:

@@ -52,7 +52,9 @@ def _term(el: ET.Element, bnode_scope: str) -> str:
     kind = _local(el.tag)
     text = el.text or ""
     if kind == "uri":
-        return nt.iri(text.strip())
+        # checked: element text is untrusted; illegal chars raise and the
+        # statement-level skip counts it (RDF4J TriXParser errors the same)
+        return nt.iri_checked(text.strip())
     if kind == "id":
         return nt.bnode(f"{bnode_scope}_{text.strip()}")
     if kind == "plainLiteral":
@@ -62,7 +64,7 @@ def _term(el: ET.Element, bnode_scope: str) -> str:
         dt = el.get("datatype")
         if not dt:
             raise ValueError("typedLiteral without datatype")
-        return nt.lit(text, dtype=dt)
+        return nt.lit(text, dtype=nt.check_iri(dt))
     raise ValueError(f"unknown TriX term element <{kind}>")
 
 

@@ -359,3 +359,67 @@ def test_language_tagged_nonstring_value_raises():
            EX + "p": {"@value": True, "@language": "en"}}
     with pytest.raises(ValueError, match="must be a string"):
         rows(doc)
+
+
+def test_nested_arrays_flatten_and_list_of_lists_errors():
+    """JSON-LD expansion flattens nested arrays recursively; a list
+    inside an @list value is the spec's 'list of lists' error — it must
+    raise (countable as a dirty-parse skip), never stringify the array's
+    Python repr into a fabricated literal."""
+    import json
+
+    import pytest as _pytest
+
+    from halyard_spark.sources.jsonld import jsonld_to_rows
+
+    doc = {"@context": {"p": "http://x/p"}, "@id": "http://x/a",
+           "p": [["a", "b"], "c"]}
+    objs = sorted(o for _s, _p, o, _g in jsonld_to_rows(json.dumps(doc)))
+    assert objs == ['"a"', '"b"', '"c"']
+
+    nested_set = {"@context": {"p": "http://x/p"}, "@id": "http://x/a",
+                  "p": {"@set": [["x"], "y"]}}
+    objs = sorted(o for _s, _p, o, _g in jsonld_to_rows(json.dumps(nested_set)))
+    assert objs == ['"x"', '"y"']
+
+    lol = {"@context": {"p": {"@id": "http://x/p", "@container": "@list"}},
+           "@id": "http://x/a", "p": [["a", "b"]]}
+    with _pytest.raises(ValueError, match="list of lists"):
+        jsonld_to_rows(json.dumps(lol))
+
+
+def test_illegal_iri_chars_rejected_not_fabricated():
+    """Untrusted IRIs with IRIREF-forbidden characters (space, '>', ...)
+    must raise (JSON-LD / RDF/XML: document-level skip; TriX:
+    statement-level skip) rather than emit a corrupt `<...>` lexical;
+    the legacy urn:ndjsonld: key fallback percent-quotes instead, so
+    arbitrary JSON keys still load as well-formed terms."""
+    import json
+
+    import pytest as _pytest
+
+    from halyard_spark.sources.jsonld import jsonld_to_rows
+    from halyard_spark.sources.rdfxml import parse_rdfxml
+    from halyard_spark.sources.trix import parse_trix
+
+    rows = jsonld_to_rows(json.dumps({"@id": "http://x/a", "my key": "v"}))
+    assert rows == [("<http://x/a>", "<urn:ndjsonld:my%20key>", '"v"', None)]
+    with _pytest.raises(ValueError, match="illegal character"):
+        jsonld_to_rows(json.dumps({"@id": "http://x/a b", "p": "v"}))
+    with _pytest.raises(ValueError, match="illegal character"):
+        parse_rdfxml(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:ex="http://x/"><rdf:Description rdf:about="http://x/a b">'
+            "<ex:p>v</ex:p></rdf:Description></rdf:RDF>"
+        )
+    skips: list = []
+    doc = (
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>'
+        "<triple><uri>http://x/a b</uri><uri>http://x/p</uri><uri>http://x/o</uri></triple>"
+        "<triple><uri>http://x/ok</uri><uri>http://x/p</uri><uri>http://x/o</uri></triple>"
+        "</graph></TriX>"
+    )
+    assert parse_trix(doc, statement_skips=skips) == [
+        ("<http://x/ok>", "<http://x/p>", "<http://x/o>", None)
+    ]
+    assert len(skips) == 1

@@ -363,3 +363,24 @@ def test_bnode_function_is_deterministic(spark, g):
         SELECT ?s (BNODE(STR(?s)) AS ?b) WHERE { ?s ex:type ex:Person }""")))
     assert a == b  # seeded skolemization: stable across evaluations
     assert all(v.startswith("_:") for v in a.values())
+
+
+def test_update_prologue_per_operation():
+    """SPARQL 1.1 grammar: Update ::= Prologue ( Update1 ( ';' Update )? )?
+    — each ';'-separated operation may carry its own PREFIX/BASE
+    declarations, accumulating across the sequence (real update scripts
+    concatenated from fragments rely on this)."""
+    from halyard_spark.query.sparql import _Parser, _parse_update_ops, tokenize
+
+    ops = _parse_update_ops(_Parser(tokenize(
+        "PREFIX ex: <urn:x:> INSERT DATA { ex:a ex:p 1 } ; "
+        "PREFIX ey: <urn:y:> INSERT DATA { ey:b ey:q 2 ; ex:p 3 }"
+    )))
+    assert [o[0] for o in ops] == ["insert_data", "insert_data"]
+    # second op used BOTH the new ey: and the carried-over ex: prefix
+    quads = ops[1][1]
+    preds = {q[1][1] if q[1][0] == "iri" else None for q in quads}
+    assert preds == {"urn:y:q", "urn:x:p"}
+    # trailing ';' followed by a prologue-only tail is still a valid end
+    assert [o[0] for o in _parse_update_ops(_Parser(tokenize(
+        "CLEAR DEFAULT ; PREFIX ex: <urn:x:>")))] == ["clear"]

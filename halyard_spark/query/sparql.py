@@ -402,7 +402,64 @@ class _Parser:
                 break
             else:
                 raise SyntaxError(f"SPARQL: unexpected {self.peek().value!r} after WHERE")
+        self._check_select_scope(q)
         return q
+
+    @staticmethod
+    def _check_select_scope(q: "Query") -> None:
+        """Parse-time projection validation for SELECT queries.
+
+        - §18.2.4.2 (official syntax-SELECTscope tests): a `(expr AS ?v)`
+          target must not be already in-scope in the WHERE pattern or a
+          GROUP BY key/alias.
+        - §18.2.4.1 (official group06/agg-err shapes): in a grouped query
+          (explicit GROUP BY, or implicit via an aggregate / HAVING), a
+          projected plain variable must be a group key, and variables in
+          projection expressions outside aggregates must be group keys or
+          earlier projection aliases.
+        """
+        if q.form != "select" or q.select_all:
+            return
+        group_keys: set = set()
+        for g in q.group_by:
+            if isinstance(g, str):
+                group_keys.add(g)
+            else:
+                alias, gexpr = g
+                group_keys.add(alias)
+                if isinstance(gexpr, tuple) and gexpr[0] == "var":
+                    # GROUP BY (?x): the condition is the variable itself
+                    group_keys.add(gexpr[1])
+        where_scope = _inscope_vars(q.where)
+        grouped = (
+            bool(q.group_by)
+            or bool(q.having)
+            or any(_contains_agg(e) for _v, e in q.projections if e is not None)
+            or any(_contains_agg(e) for e, _asc in q.order_by)
+        )
+        aliases: set = set()
+        for v, e in q.projections:
+            if e is not None and (v in where_scope or v in group_keys):
+                raise SyntaxError(
+                    f"SPARQL: SELECT expression target ?{v} is already in scope"
+                )
+            if grouped:
+                if e is None:
+                    if v not in group_keys and v not in aliases:
+                        raise SyntaxError(
+                            f"SPARQL: ?{v} in the SELECT of a grouped query "
+                            "must be a GROUP BY key or aggregated"
+                        )
+                else:
+                    bad = _vars_outside_aggs(e) - group_keys - aliases
+                    if bad:
+                        raise SyntaxError(
+                            "SPARQL: non-group-key variable(s) "
+                            f"{sorted('?' + b for b in bad)} used outside an "
+                            "aggregate in a grouped query's SELECT expression"
+                        )
+            if e is not None:
+                aliases.add(v)
 
     def parse_group(self) -> list:
         """GroupGraphPattern -> element list."""
@@ -426,6 +483,14 @@ class _Parser:
                 self.expect("KW", "as")
                 v = self.expect("VAR").value[1:]
                 self.expect("OP", ")")
+                # grammar note 12 (§19.8): the BIND target must not be
+                # already used in the group up to this point — checked
+                # against the in-scope variables of the preceding
+                # siblings (FILTER/MINUS vars are not in scope)
+                if v in _inscope_vars(elems):
+                    raise SyntaxError(
+                        f"SPARQL: BIND target ?{v} is already in scope in this group"
+                    )
                 elems.append(("bind", e, v))
             elif t.kind == "KW" and t.value == "values":
                 self.next()
@@ -2395,6 +2460,59 @@ class _Planner:
         return df
 
 
+def _vars_outside_aggs(e) -> set:
+    """Variables referenced in an expression tree OUTSIDE any aggregate
+    call (and outside EXISTS sub-patterns, which have their own scope) —
+    §18.2.4.1: in a grouped query these must all be group keys."""
+    if isinstance(e, list):
+        return set().union(*[_vars_outside_aggs(x) for x in e]) if e else set()
+    if not isinstance(e, tuple):
+        return set()
+    if e[0] == "var":
+        return {e[1]}
+    if e[0] in ("agg", "exists", "notexists"):
+        return set()
+    return set().union(
+        set(), *[_vars_outside_aggs(x) for x in e[1:] if isinstance(x, (tuple, list))]
+    )
+
+
+def _term_vars(t) -> set:
+    return {t[1]} if isinstance(t, tuple) and t[0] == "var" else set()
+
+
+def _inscope_vars(elems) -> set:
+    """In-scope variables of a parsed GroupGraphPattern element list
+    (§18.2.1 table): triple/path terms, nested groups, OPTIONAL, GRAPH
+    (+ its name var), SERVICE, BIND targets, VALUES vars, both UNION
+    branches, and a subquery's projected variables.  FILTER and MINUS
+    contribute nothing (their variables are not visible outside)."""
+    out: set = set()
+    for el in elems or []:
+        kind = el[0]
+        if kind == "triple":
+            out |= _term_vars(el[1]) | _term_vars(el[2]) | _term_vars(el[3])
+        elif kind in ("group", "optional"):
+            out |= _inscope_vars(el[1])
+        elif kind == "graph":
+            out |= _term_vars(el[1]) | _inscope_vars(el[2])
+        elif kind == "service":
+            out |= _inscope_vars(el[2])
+        elif kind == "bind":
+            out.add(el[2])
+        elif kind == "values":
+            out.update(el[1])
+        elif kind == "union":
+            out |= _inscope_vars([el[1]]) | _inscope_vars([el[2]])
+        elif kind == "subquery":
+            q = el[1]
+            if q.select_all:
+                out |= _inscope_vars(q.where)
+            else:
+                out.update(v for v, _e in q.projections)
+    return out
+
+
 def _plain_vars(e) -> set:
     """Variables referenced directly in an expression tree (after the
     HAVING rewrite replaced aggregates with havingref nodes), i.e. the
@@ -2654,6 +2772,15 @@ def _parse_update_ops(parser: _Parser) -> list:
             if with_ctx is not None:
                 raise SyntaxError("SPARQL UPDATE: WITH does not combine with DATA forms")
             quads = _template_quads(parser.parse_group())
+            # grammar: QuadData admits no variables (official
+            # syntax-update-bad negative shapes for both DATA forms)
+            for q4 in quads:
+                for t in q4[:3] + ((q4[3],) if q4[3] is not None else ()):
+                    if isinstance(t, tuple) and t[0] == "var":
+                        raise SyntaxError(
+                            f"SPARQL UPDATE: variable ?{t[1]} is not allowed in "
+                            f"{head.value.upper()} DATA"
+                        )
             if head.value == "delete":
                 _reject_delete_bnodes(quads, "DELETE DATA")
             ops.append(("insert_data" if head.value == "insert" else "delete_data", quads))

@@ -224,3 +224,70 @@ def test_arithmetic_bind_joins_integer_term(numstore):
         <urn:a> <urn:p> ?o . BIND(xsd:integer(?o) + 0 AS ?v)
         ?s2 <urn:q> ?v . }"""))
     assert got == [("<urn:a>",)]
+
+
+# --- parse-time static scope errors (round-5 session-2 additions) ------------
+# §18.2.4.1/§18.2.4.2 + grammar note 12: these are SYNTAX errors, raised
+# at parse (official syntax-SELECTscope* / group06-style negatives), so
+# no store is needed.
+
+
+def _parses(q: str) -> bool:
+    from halyard_spark.query.sparql import _Parser, tokenize
+
+    try:
+        _Parser(tokenize(q)).parse()
+        return True
+    except SyntaxError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # projected plain var not a group key (explicit GROUP BY)
+        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?p",
+        # implicit grouping via aggregate in SELECT
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+        # implicit grouping via HAVING
+        "SELECT ?s WHERE { ?s ?p ?o } HAVING (COUNT(*) > 1)",
+        # non-key var outside an aggregate in a projection expression
+        "SELECT (?o + 1 AS ?t) (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+        # SELECT expression target already in scope in WHERE
+        "SELECT (1 AS ?x) WHERE { ?x ?p ?o }",
+        # SELECT expression target is a GROUP BY key
+        "SELECT (STR(?x) AS ?x) WHERE { ?y <urn:p> 'v' } GROUP BY ?x",
+        # BIND target in scope from a preceding triple
+        "SELECT * WHERE { ?s ?p ?o . BIND(1 AS ?s) }",
+        # BIND target in scope from a preceding BIND
+        "SELECT ?x { BIND(1 AS ?x) ?s ?p ?o . BIND(2 AS ?x) }",
+        # BIND target in scope from a preceding OPTIONAL
+        "SELECT * WHERE { ?s ?p ?o OPTIONAL { ?s <urn:q> ?x } BIND(1 AS ?x) }",
+    ],
+)
+def test_static_scope_errors_rejected_at_parse(q):
+    assert not _parses(q)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # group keys and aggregates project fine
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+        # later projection expression may use an earlier alias
+        "SELECT (SUM(?o) AS ?t) (?t * 2 AS ?d) WHERE { ?s <urn:p> ?o } GROUP BY ?s",
+        # GROUP BY (?x) makes ?x a key; GROUP BY (expr AS ?v) names ?v
+        "SELECT ?x WHERE { ?s <urn:p> ?x } GROUP BY (?x)",
+        "SELECT ?sx WHERE { ?s <urn:p> ?x } GROUP BY (STR(?x) AS ?sx)",
+        # MINUS vars are NOT in scope: BIND on them afterwards is legal
+        "SELECT * WHERE { ?s ?p ?o MINUS { ?s <urn:q> ?z } BIND(1 AS ?z) }",
+        # sibling groups each have their own BIND scope
+        "SELECT * WHERE { { BIND(1 AS ?x) } { BIND(2 AS ?x) } }",
+        # ungrouped query projecting plain vars stays legal
+        "SELECT ?s ?o WHERE { ?s ?p ?o }",
+        # fresh SELECT expression target
+        "SELECT (1 AS ?x) WHERE { ?s ?p ?o }",
+    ],
+)
+def test_static_scope_legal_forms_accepted(q):
+    assert _parses(q)

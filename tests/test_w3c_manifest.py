@@ -82,8 +82,9 @@ def test_w3c_case(spark, case):
             sparql_update(data, (W3C_DIR / case["update"]).read_text())
         return
     if case.get("type") == "negative-eval":
-        # a static error the grammar alone cannot catch (BIND in-scope
-        # rebind, projecting an ungrouped variable): planning must raise
+        # a static error raised from the full query entry point (most
+        # scope errors are now parse-time; this type remains for errors
+        # only planning can see)
         with pytest.raises(SyntaxError):
             sparql_query(data, (W3C_DIR / case["query"]).read_text())
         return

@@ -97,7 +97,8 @@ def _push_ctx(active: _Ctx, local) -> _Ctx:
         ctx.vocab = None if v is None else str(v)
     if "@language" in local:
         lang = local["@language"]
-        ctx.language = None if lang is None else str(lang)
+        # expansion lowercases language tags (JSON-LD 1.0 §6.1 / 8.6)
+        ctx.language = None if lang is None else str(lang).lower()
     defined: dict[str, bool] = {}
     for term in local:
         if term not in ("@base", "@vocab", "@language"):
@@ -144,7 +145,7 @@ def _create_term(ctx: _Ctx, local: dict, term: str, defined: dict) -> None:
             t, ctx, vocab=True, local=local, defined=defined)
     if "@language" in value:
         lang = value["@language"]
-        td["language"] = None if lang is None else str(lang)
+        td["language"] = None if lang is None else str(lang).lower()
     if "@container" in value:
         c = value["@container"]
         cs = c if isinstance(c, list) else [c]
@@ -205,7 +206,17 @@ def _expand_iri(value: str, ctx: _Ctx, vocab: bool = False,
 def _subject_term(sid: str, ctx: _Ctx, scope: str) -> str:
     if sid.startswith("_:"):
         return "_:b" + _sha1(f"{scope}|label|{sid[2:]}")
-    return nt.iri_checked(_expand_iri(sid, ctx, base=True))
+    return nt.iri_checked(_abs_iri(_expand_iri(sid, ctx, base=True)))
+
+
+def _abs_iri(iri: str) -> str:
+    """toRdf emits only well-formed (absolute) IRIs; a relative @id with
+    no @base to resolve against raises so the caller's dirty-parse
+    metrics count the skip (RDF4J likewise fatal-errors on relative
+    IRIs) instead of emitting an invalid `<relative>` term."""
+    if not _has_scheme(iri):
+        raise ValueError(f"relative IRI with no @base: {iri!r}")
+    return iri
 
 
 _RDF_FIRST = nt.iri(nt.RDF + "first")
@@ -235,7 +246,7 @@ def _value_obj(v: dict, td, ctx: _Ctx) -> str | None:
             # stringifying a bool/number here would fabricate a literal
             raise ValueError(f"@value with @language must be a string: {val!r}")
         lang = v["@language"]
-        return nt.lit(val, lang=str(lang) if lang else None)
+        return nt.lit(val, lang=str(lang).lower() if lang else None)
     if "@type" in v:
         dt = _expand_iri(str(v["@type"]), ctx, vocab=True)
         s = ("true" if val else "false") if isinstance(val, bool) else str(val)
@@ -301,7 +312,7 @@ def _expand_value(v, td, ctx: _Ctx, out: list, graph, scope: str,
     s = str(v)
     if td is not None and td["type"] == "@id":
         iri = _expand_iri(s, ctx, base=True)
-        return _subject_term(s, ctx, scope) if s.startswith("_:") else nt.iri_checked(iri)
+        return _subject_term(s, ctx, scope) if s.startswith("_:") else nt.iri_checked(_abs_iri(iri))
     if td is not None and td["type"] == "@vocab":
         if s.startswith("_:"):
             return _subject_term(s, ctx, scope)
@@ -434,7 +445,7 @@ def _emit_node(doc: dict, ctx: _Ctx, out: list, graph, scope: str,
         if container == "@language" and isinstance(val, dict):
             for lang in sorted(val):
                 for lv in (val[lang] if isinstance(val[lang], list) else [val[lang]]):
-                    obj = nt.lit(str(lv), lang=lang or None)
+                    obj = nt.lit(str(lv), lang=lang.lower() if lang else None)
                     row = (subj, pred, obj, graph)
                     (out.append(row) if not td["reverse"]
                      else out.append((obj, pred, subj, graph)))

@@ -423,3 +423,33 @@ def test_illegal_iri_chars_rejected_not_fabricated():
         ("<http://x/ok>", "<http://x/p>", "<http://x/o>", None)
     ]
     assert len(skips) == 1
+
+
+def test_language_tags_lowercased_in_expansion():
+    # JSON-LD 1.0 expansion lowercases @language everywhere: explicit
+    # value objects, term defaults, context default, and language maps
+    assert spo({"@context": {"p": EX + "p"}, "@id": EX + "x",
+                "p": {"@value": "t", "@language": "EN"}}) == {
+        (f"<{EX}x>", f"<{EX}p>", nt.lit("t", lang="en"))}
+    assert spo({"@context": {"@language": "DE", "p": EX + "p"},
+                "@id": EX + "x", "p": "v"}) == {
+        (f"<{EX}x>", f"<{EX}p>", nt.lit("v", lang="de"))}
+    assert spo({"@context": {"m": {"@id": EX + "m", "@container": "@language"}},
+                "@id": EX + "x", "m": {"FR": "chat"}}) == {
+        (f"<{EX}x>", f"<{EX}m>", nt.lit("chat", lang="fr"))}
+
+
+def test_relative_iri_without_base_raises():
+    # toRdf emits only well-formed (absolute) IRIs; with no @base a
+    # relative @id cannot resolve — raise into the skip counters
+    # (RDF4J fatal-errors the same way) rather than emit `<rel-id>`
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rows({"@id": "rel-id", EX + "p": "v"})
+    with _pytest.raises(ValueError):
+        rows({"@context": {"r": {"@id": EX + "r", "@type": "@id"}},
+              "@id": EX + "x", "r": "noscheme"})
+    # with @base both resolve fine
+    assert spo({"@context": {"@base": "http://b/"}, "@id": "rel",
+                EX + "p": "v"}) == {("<http://b/rel>", f"<{EX}p>", nt.lit("v"))}

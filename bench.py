@@ -239,16 +239,17 @@ def write_baseline_md(result: dict) -> None:
                 "streaming control, not against 1.0.",
                 "",
                 "Host-epoch caveat: the shared VM's memory bandwidth drifts",
-                "by tenancy epoch (streaming control measured 158-170 GB/s in",
-                "healthy windows vs ~120 GB/s in degraded ones).  The 2->8",
-                "ratio tracks that epoch — the 8-core leg is bandwidth-",
-                "sensitive where the 2-core leg is not — so per-invocation",
-                "ratios cluster 0.85-0.91 in healthy windows and 0.73-0.79 in",
-                "degraded ones (an A/B of round-4 vs round-5 code in ONE",
-                "window showed the round-5 code 34% FASTER on the 8-core leg,",
-                "ruling out a code regression).  Each invocation records its",
-                "own controls in scaling_cache.json so the correlation is",
-                "auditable; the median below spans all epochs.",
+                "by tenancy epoch (streaming control measured 51-170 GB/s at 8",
+                "threads across recorded invocations; a same-window A/B of",
+                "round-4 vs round-5 code showed the newer code 34% FASTER on",
+                "the 8-core leg, ruling out a code regression).  Honesty note:",
+                "across the invocations that carry per-invocation controls the",
+                "ratio does NOT correlate cleanly with the control reading",
+                "(controls run after the legs, and the window can shift within",
+                "one ~45-min invocation), so the epoch story explains the",
+                "variance qualitatively, not sample-by-sample; the evidence",
+                "for the criterion is the cross-invocation median over all",
+                "windows, with every raw sample kept in scaling_cache.json.",
                 "",
                 "Measurement caveat: the host shows intermittent neighbor noise",
                 "(10-20% steal periods).  Within one invocation EVERY level",

@@ -42,7 +42,18 @@ def exact_dedup(
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The input scan is widened first (session.widen_small_input): a small
+    corpus written as one parquet file is a ONE-task scan, and the
+    explode + per-shingle hashing chain downstream is the most
+    compute-heavy narrow work in the dedup family — serializing it on a
+    single core doubled the dedup_minhash wall at sf0.1 (guide §2.5
+    input skew).  No-op for large or already-parallel inputs.
+    """
+    from halyard_spark.session import widen_small_input
+
+    docs = widen_small_input(docs)
     t = tokens(text_col)
     grams = F.when(
         F.size(t) >= n,
@@ -56,7 +67,16 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
 
 def _pair_candidates(sh: DataFrame, id_col: str, key: str, max_df: int) -> DataFrame:
     """Self-join docs sharing a key, a < b; keys with doc-freq > max_df are
-    dropped (no-signal keys would create quadratic pair blowup)."""
+    dropped (no-signal keys would create quadratic pair blowup).
+
+    ``sh`` is materialized once (localCheckpoint): its plan is consumed
+    THREE times below (doc-freq cap + both self-join sides), and column
+    pruning gives each consumer a different projection, which defeats
+    Spark's ReuseExchange — measured as the whole signature aggregation
+    executing twice, each time as a one-task stage (guide §2.4: remove
+    duplicated subtree work before tuning anything else).
+    """
+    sh = sh.localCheckpoint(eager=True)
     df_ok = sh.groupBy(key).agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
     pruned = sh.join(df_ok.select(key), key)
     a = pruned.select(F.col(key), F.col(id_col).alias("a"))
@@ -82,11 +102,15 @@ def ngram_jaccard_pairs(
     intersections with unpruned sizes would bias the metric low whenever
     near-identical docs share a ubiquitous (boilerplate) shingle.
     """
-    sh = shingles(docs, id_col, text_col, n)
+    # one materialization each for the two multiply-consumed frames: sh
+    # feeds the df cap AND the pruned join; pruned feeds sizes + both
+    # self-join sides (projection differences defeat ReuseExchange —
+    # without this the shingle explode re-runs up to 5x, guide §2.4)
+    sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     df_ok = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
     )
-    pruned = sh.join(df_ok.select("shingle"), "shingle")
+    pruned = sh.join(df_ok.select("shingle"), "shingle").localCheckpoint(eager=True)
     sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = pruned.select("shingle", F.col(id_col).alias("a"))
     b = pruned.select("shingle", F.col(id_col).alias("b"))
@@ -181,6 +205,9 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     DuckDB reproduces it exactly with strpos('0123456789abcdef', ...) —
     unlike xxhash64, which exists only in Spark.  All arithmetic stays in
     the JVM as generated column expressions (whole-stage codegen)."""
+    from halyard_spark.session import widen_small_input
+
+    docs = widen_small_input(docs)
     tok = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     md5c = F.md5(F.col("tok").cast("binary"))
     nibs = tok.select(
@@ -228,7 +255,10 @@ def simhash_pairs(
         )
         for i, (start, ln) in enumerate(spans)
     ]
-    chunks = sig.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("bucket"))
+    # chunks is consumed 3x (df cap + both join sides) — materialize once
+    chunks = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("bucket")
+    ).localCheckpoint(eager=True)
     a = chunks.select(F.col("bucket"), F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"))
     b = chunks.select(F.col("bucket"), F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"))
     df_ok = chunks.groupBy("bucket").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
@@ -319,10 +349,14 @@ def embedding_cosine_pairs(
         )
         cand = a.join(b, F.col("a") < F.col("b"))
     elif method == "lsh":
+        from halyard_spark.session import widen_small_input
+
+        # widen the tiny-scan case (hyperplane dot products are the heavy
+        # narrow work here) and materialize bk once for its two join sides
         bk = lsh_buckets(
-            emb.select(F.col(id_col), F.col(vec_col)),
+            widen_small_input(emb.select(F.col(id_col), F.col(vec_col))),
             dim=dim, n_planes=n_planes, n_tables=n_tables, vec_col=vec_col, seed=seed,
-        ).select(F.col(id_col).alias("__bid"), "bucket")
+        ).select(F.col(id_col).alias("__bid"), "bucket").localCheckpoint(eager=True)
         pairs = (
             bk.alias("x")
             .join(bk.alias("y"), on="bucket")

@@ -50,11 +50,15 @@ def cosine_topk(
     queries must have columns (id_col, vec_col).  Queries are broadcast
     (the small side); candidates stream — no shuffle of the big side.
     """
+    from halyard_spark.session import widen_small_input
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     ).withColumn("_qnorm", _norm(F.col("_qvec"))).where(F.col("_qnorm") > 0)
     c = (
-        emb.select(F.col(id_col), F.col(vec_col))
+        # widen a one-file scan: the per-row dot-product fold below is
+        # the compute; a single-task scan serializes it (guide §2.5)
+        widen_small_input(emb.select(F.col(id_col), F.col(vec_col)))
         .withColumn("_norm", _norm(F.col(vec_col)))
         .where(F.col("_norm") > 0)  # zero vectors: no direction, ANSI div-by-0
     )

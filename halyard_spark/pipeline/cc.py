@@ -29,6 +29,20 @@ def _undirect(edges: DataFrame) -> DataFrame:
     )
 
 
+def _with_min(df: DataFrame) -> DataFrame:
+    """Attach m = min(dst in src's group, src itself) as ONE window pass.
+
+    The groupBy+self-join formulation this replaces cost two shuffled
+    sides plus their sorts per star op; a min() window over
+    partitionBy(src) is the identical value with a single exchange
+    (guide §2.4 — share/remove exchanges before anything else).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
+    return df.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect strictly-larger neighbors of each node to its min neighbor.
 
@@ -36,24 +50,27 @@ def _large_star(edges: DataFrame) -> DataFrame:
     extra shuffle per round costs more than pushing a few duplicate rows
     through the next join (each round is latency-bound, not volume-bound).
     """
-    und = _undirect(edges)
-    mins = und.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
     return (
-        und.join(mins, "src")
+        _with_min(_undirect(edges))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect smaller-or-equal neighbors of each node to its min neighbor."""
+    """Connect smaller-or-equal neighbors of each node to its min neighbor.
+
+    The second union arm emits (src, m) per ROW rather than per group —
+    the same value set (m is functionally dependent on src), and the
+    trailing distinct collapses it identically, without the extra
+    exchange a per-group dedup of that arm would cost.
+    """
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    mins = oriented.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
-    withm = oriented.join(mins, "src")
+    withm = _with_min(oriented)
     out = withm.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
-        mins.select(F.col("src"), F.col("m").alias("dst"))
+        withm.select(F.col("src"), F.col("m").alias("dst"))
     )
     return out.distinct()
 

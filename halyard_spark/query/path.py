@@ -102,8 +102,9 @@ def reachable_from(
     pairs from a finite space.
 
     ``hops_per_round`` batches that many 1-hop joins into ONE Spark job
-    before the convergence action (``None`` = auto: up to 16 on
-    low-fanout broadcast-joined graphs, 4 otherwise): each round is
+    before the convergence action (``None`` = auto: 32 on degree-1
+    broadcast-joined graphs, up to 16 on low-fanout (degree <= 4) ones,
+    4 otherwise): each round is
     still frontier-sized
     work (never a whole-graph closure), but a diameter-D traversal costs
     ceil(D / hops_per_round) driver actions instead of D — on
@@ -162,10 +163,22 @@ def reachable_from(
         # Auto depth: dedup-free broadcast hops are near-free (one fused
         # codegen stage regardless of depth), so fuse as many per driver
         # round as the carriage bound allows — a diameter-49 chain then
-        # converges in ceil(49/16)=4 rounds instead of 13.  Shuffle-joined
-        # or high-fanout graphs stay at 4: there each hop is a real
+        # converges in ceil(49/16)=4 rounds instead of 13.  Depth is
+        # capped at 16: Catalyst analysis of the unioned hop arms grows
+        # superlinearly with depth (measured at sf0.1: 8 hops 15.1 s,
+        # 16 hops 12.4 s, 24 hops 14.8 s, 32 hops 44.8 s end-to-end),
+        # so deeper fusion pays more in plan-compile time than it saves
+        # in driver rounds.  Shuffle-joined or
+        # high-fanout graphs stay at 4: there each hop is a real
         # shuffle, and deeper rounds just defer the convergence check.
-        if max_deg is not None and 1 <= max_deg <= 4:
+        if max_deg is not None and max_deg == 1:
+            # degree-1 graphs (chains/rings) carry no duplicates at any
+            # depth, and the array-history round (below) keeps the plan
+            # ~25 nodes regardless of depth — 32 fused hops measured
+            # fastest at sf0.1 (7.1 s vs 8.7 s at 16, vs 44.8 s for the
+            # old 32-deep union-of-arms plan)
+            hops_per_round = 32
+        elif max_deg is not None and 1 <= max_deg <= 4:
             h = 16
             while max_deg**h > 256:
                 h -= 1
@@ -182,6 +195,7 @@ def reachable_from(
             .localCheckpoint(eager=True)
         )
     result = None
+    result_rows = 0  # known exactly: sum of each round's fresh.count()
     frontier = seeds
     # BFS terminates on its own: each round's anti-join keeps only pairs
     # never seen before, and the (root, node) space is finite — so the
@@ -197,28 +211,70 @@ def reachable_from(
         )
         if hops_left > 0:
             hops_left -= this_round
-        stepped = frontier
-        parts = []
-        for h in range(this_round):
-            stepped = stepped.join(hop_edges, stepped.node == edges.src).select(
-                "root", F.col("dst").alias("node")
+        if dedup_free:
+            # Array-history round: ONE left-join chain that appends each
+            # hop's destination to a per-row array, then posexplode +
+            # min-position at round end.  Semantically identical to the
+            # union-of-arms form below (per-pair minimum hop depth), but
+            # the plan is ~25 nodes instead of O(hops^2/2) join nodes —
+            # Catalyst re-analysis of the arm prefixes dominated every
+            # round's wall at sf0.1 (arms 12.3 s vs array 8.7 s at 16
+            # hops, and arms blow up superlinearly past 24).  The LEFT
+            # join keeps rows alive after their path ends (dst null =
+            # stop appending; a null node never matches another hop), so
+            # early-terminating paths still contribute their prefix.
+            empty_hist = F.slice(F.array(F.col("node")), 1, 0)
+            stepped = frontier.select("root", "node", empty_hist.alias("hist"))
+            for _ in range(this_round):
+                j = stepped.join(hop_edges, stepped.node == edges.src, "left")
+                stepped = j.select(
+                    "root",
+                    F.col("dst").alias("node"),
+                    F.when(
+                        F.col("dst").isNotNull(), F.concat("hist", F.array("dst"))
+                    ).otherwise(F.col("hist")).alias("hist"),
+                )
+            acc = (
+                stepped.select("root", F.posexplode("hist").alias("__p", "__n"))
+                .groupBy("root", F.col("__n").alias("node"))
+                .agg((F.min("__p") + F.lit(1)).alias("__h"))
             )
-            if not dedup_free:
-                stepped = stepped.distinct()
-            parts.append(stepped.withColumn("__h", F.lit(h + 1)))
-        acc = parts[0]
-        for p in parts[1:]:
-            acc = acc.union(p)
-        # dedup keeping the FIRST-reached hop depth: rows at __h ==
-        # this_round are exactly the boundary frontier the next round
-        # must expand (everything shallower was expanded within this
-        # round); one aggregation, one anti-join, ONE action per round
-        acc = acc.groupBy("root", "node").agg(F.min("__h").alias("__h"))
+        else:
+            # High-fanout/shuffle-joined graphs: per-hop distinct bounds
+            # row growth, which the array form cannot do mid-round.
+            stepped = frontier
+            parts = []
+            for h in range(this_round):
+                stepped = stepped.join(hop_edges, stepped.node == edges.src).select(
+                    "root", F.col("dst").alias("node")
+                ).distinct()
+                parts.append(stepped.withColumn("__h", F.lit(h + 1)))
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc.union(p)
+            # dedup keeping the FIRST-reached hop depth: rows at __h ==
+            # this_round are exactly the boundary frontier the next round
+            # must expand (everything shallower was expanded within this
+            # round); one aggregation, one anti-join, ONE action per round
+            acc = acc.groupBy("root", "node").agg(F.min("__h").alias("__h"))
         if result is not None:
-            acc = acc.join(result, ["root", "node"], "left_anti")
+            # the accumulated result's exact row count is known (summed
+            # fresh counts), so the seen-set side of the anti-join is
+            # BROADCAST whenever it fits — a checkpointed RDD carries no
+            # stats, and Catalyst would otherwise sort-merge every round
+            # (two exchanges + sorts on the latency-critical loop path);
+            # oversized closures fall back to the shuffled anti-join
+            seen = (
+                F.broadcast(result)
+                if 0 <= result_rows * 128 <= bcast_limit
+                else result
+            )
+            acc = acc.join(seen, ["root", "node"], "left_anti")
         fresh = acc.localCheckpoint(eager=False)
-        if fresh.count() == 0:  # the count materializes the checkpoint
+        n_fresh = fresh.count()  # the count materializes the checkpoint
+        if n_fresh == 0:
             break
+        result_rows += n_fresh
         frontier = fresh.where(F.col("__h") == this_round).drop("__h")
         new_pairs = fresh.drop("__h")
         # accumulate WITHOUT re-checkpointing: every union arm is already

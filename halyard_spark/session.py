@@ -190,6 +190,53 @@ def adaptive_shuffle_width(spark: SparkSession, df, expansion: float = 4.0,
     return max(floor, min(cap, width))
 
 
+def widen_small_input(df, target: int | None = None, max_bytes_per_core: int = 8 * 1024 * 1024):
+    """Round-robin repartition a TINY scan up to the session's core count.
+
+    Guide §2.5 "input skew": a small table written as one parquet file
+    scans as ONE task, so compute-heavy narrow chains over it (shingle
+    explode + per-shingle hashing, simhash bit sums) serialize on a
+    single core while 31 sit idle — measured 2x the whole query wall on
+    dedup_minhash at sf0.1.  This widens exactly that case and is a
+    deliberate NO-OP whenever the scan already parallelizes:
+
+    - input bytes unknown (non-file source) or > target * max_bytes_per_core:
+      a real corpus at scale gets its parallelism from scan splits, and
+      round-robin repartitioning it would shuffle the full payload —
+      the anti-pattern guide §8 warns about;
+    - the scan already has >= target input files.
+
+    Safe for results: round-robin repartition only changes row placement,
+    and every caller aggregates with order-insensitive functions.
+    """
+    spark = df.sparkSession
+    try:
+        target = target or spark.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    try:
+        from urllib.parse import unquote, urlparse
+
+        for uri in files:
+            p = urlparse(uri)
+            path = unquote(p.path) if p.scheme in ("file", "") else None
+            if path is None or not os.path.exists(path):
+                return df  # remote store: let scan splits decide
+            total += os.path.getsize(path)
+    except Exception:
+        return df
+    if total > target * max_bytes_per_core:
+        return df
+    return df.repartition(target)
+
+
 def stop_all() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -53,7 +53,10 @@ def transitive_closure(
             "(use reachable_from for longer minimum paths)"
         )
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    sources = edges.select("src").distinct()
+    # NOT distinct'd here: reachable_from's seed construction dedups the
+    # source column anyway, and a distinct on top of that became a second
+    # redundant aggregation exchange in every closure's first round
+    sources = edges.select("src")
     # _normalized: this function just deduped + checkpointed the edge set;
     # letting reachable_from re-distinct + re-checkpoint it would
     # materialize the edge table twice per closure call (code-review fix)
@@ -271,7 +274,12 @@ def reachable_from(
             )
             acc = acc.join(seen, ["root", "node"], "left_anti")
         fresh = acc.localCheckpoint(eager=False)
-        n_fresh = fresh.count()  # the count materializes the checkpoint
+        # ONE action per round: count + max depth together (the agg
+        # materializes the lazy checkpoint exactly like a count would)
+        stats = fresh.agg(
+            F.count(F.lit(1)).alias("n"), F.max("__h").alias("maxh")
+        ).first()
+        n_fresh = stats["n"]
         if n_fresh == 0:
             break
         result_rows += n_fresh
@@ -282,6 +290,11 @@ def reachable_from(
         # O(rounds) while an eager checkpoint here would rewrite the
         # ENTIRE accumulated result each round (quadratic total work)
         result = new_pairs if result is None else result.union(new_pairs)
+        if stats["maxh"] < this_round:
+            # no fresh pair sits at this round's boundary depth, so the
+            # next frontier is PROVABLY empty — skip the verify round
+            # (a whole plan+schedule cycle) the count==0 exit would cost
+            break
     out_schema = seeds.select(F.col("root").alias("src"), F.col("node").alias("dst")).limit(0)
     pairs = (
         out_schema

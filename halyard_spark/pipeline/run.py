@@ -185,6 +185,13 @@ def _run_pipeline(
     resumed_tail = resume and lineage.stage_done(spark, out_dir, "triples", stage_fp["fp"], spo_path)
     if not resumed_tail:
         emitted = triples.emit_triples(src_meta, mentions, linked, canonical, spark)
+        # NOT cached/checkpointed before the range write, despite the
+        # sampling pass re-evaluating the emit chain: an r6 interleaved
+        # A/B measured the lazy row-cache variant at 22-23 s for this
+        # stage vs 12.5-13 s recomputing (string-heavy quad rows make
+        # the cache fill + GC churn cost more than the second pass) —
+        # the row-cache analog of the columnar-cache rejection noted in
+        # pipeline/materialize.py.
         materialize.write_sorted(emitted, spo_path, materialize.INDEXES["spo"], n_mirror)
     quads = materialize.read_index(spark, store_dir, "spo")
     triple_count = quads.count()  # footer-only (parquet aggregate pushdown)

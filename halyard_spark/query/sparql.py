@@ -418,7 +418,7 @@ class _Parser:
           projection expressions outside aggregates must be group keys or
           earlier projection aliases.
         """
-        if q.form != "select" or q.select_all:
+        if q.form != "select":
             return
         group_keys: set = set()
         for g in q.group_by:
@@ -437,6 +437,15 @@ class _Parser:
             or any(_contains_agg(e) for _v, e in q.projections if e is not None)
             or any(_contains_agg(e) for e, _asc in q.order_by)
         )
+        if q.select_all:
+            # §18.2.4.1: SELECT * cannot name group keys, so it is
+            # forbidden the moment the query is grouped (explicit GROUP
+            # BY, or implicit via HAVING / an aggregate)
+            if grouped:
+                raise SyntaxError(
+                    "SPARQL: SELECT * is not allowed in a grouped query"
+                )
+            return
         aliases: set = set()
         for v, e in q.projections:
             if e is not None and (v in where_scope or v in group_keys):
@@ -460,6 +469,26 @@ class _Parser:
                         )
             if e is not None:
                 aliases.add(v)
+        if grouped:
+            # the same non-group-key rule applies to HAVING and ORDER BY
+            # expressions (they evaluate over the grouped solution, where
+            # only group keys, SELECT aliases and aggregates are bound)
+            for hexpr in q.having:
+                bad = _vars_outside_aggs(hexpr) - group_keys - aliases
+                if bad:
+                    raise SyntaxError(
+                        "SPARQL: non-group-key variable(s) "
+                        f"{sorted('?' + b for b in bad)} used outside an "
+                        "aggregate in HAVING"
+                    )
+            for oexpr, _asc in q.order_by:
+                bad = _vars_outside_aggs(oexpr) - group_keys - aliases
+                if bad:
+                    raise SyntaxError(
+                        "SPARQL: non-group-key variable(s) "
+                        f"{sorted('?' + b for b in bad)} used outside an "
+                        "aggregate in ORDER BY of a grouped query"
+                    )
 
     def parse_group(self) -> list:
         """GroupGraphPattern -> element list."""
@@ -2829,6 +2858,14 @@ def _template_quads(elems: list, default_ctx=None) -> list:
     quads = []
     for el in elems:
         if el[0] == "triple":
+            # grammar: a quad template's Verb is VarOrIri — a property
+            # path (`<p>/<q>`, `<p>+`, ...) parses in a WHERE group but
+            # must not reach an update template as a predicate
+            if isinstance(el[2], tuple) and el[2][0] == "pathexpr":
+                raise SyntaxError(
+                    "SPARQL UPDATE: property paths are not allowed as the "
+                    "predicate of a template quad"
+                )
             quads.append((el[1], el[2], el[3], default_ctx))
         elif el[0] == "graph":
             quads.extend(_template_quads(el[2], default_ctx=el[1]))

@@ -213,7 +213,17 @@ def _abs_iri(iri: str) -> str:
     """toRdf emits only well-formed (absolute) IRIs; a relative @id with
     no @base to resolve against raises so the caller's dirty-parse
     metrics count the skip (RDF4J likewise fatal-errors on relative
-    IRIs) instead of emitting an invalid `<relative>` term."""
+    IRIs) instead of emitting an invalid `<relative>` term.
+
+    Stated dialect asymmetry: this absoluteness enforcement covers @id
+    subjects and @id-typed values (base-mode expansion).  A bare
+    relative @type on a node object, or a @type datatype on a value
+    object, expands in VOCAB mode, where this dialect's documented
+    fallback vocabulary (`urn:ndjsonld:`) absorbs terms with no @vocab/
+    @base — so those positions never reach this rejection.  That is the
+    deliberate ND-JSON-LD ingestion behavior (keep typed records
+    flowing, count nothing as dirty for a missing vocabulary), not an
+    oversight; RDF4J parity would instead fatal-error there."""
     if not _has_scheme(iri):
         raise ValueError(f"relative IRI with no @base: {iri!r}")
     return iri

@@ -53,7 +53,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     """
     from halyard_spark.session import widen_small_input
 
-    docs = widen_small_input(docs)
+    # project before the widening shuffle: only (id, text) cross the wire
+    docs = widen_small_input(docs.select(F.col(id_col), F.col(text_col)))
     t = tokens(text_col)
     grams = F.when(
         F.size(t) >= n,
@@ -207,7 +208,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     the JVM as generated column expressions (whole-stage codegen)."""
     from halyard_spark.session import widen_small_input
 
-    docs = widen_small_input(docs)
+    # project before the widening shuffle: only (id, text) cross the wire
+    docs = widen_small_input(docs.select(F.col(id_col), F.col(text_col)))
     tok = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     md5c = F.md5(F.col("tok").cast("binary"))
     nibs = tok.select(

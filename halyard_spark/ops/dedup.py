@@ -335,9 +335,13 @@ def embedding_cosine_pairs(
     tables (cos>=0.4: 3 planes x 10 tables ~ 0.94; cos>=0.9: 6 x 8 ~ 0.98).
     """
     from halyard_spark.ops.simsearch import _dot, _norm, lsh_buckets
+    from halyard_spark.session import widen_small_input
 
+    # widen a one-file scan before the per-pair dot-product compute: the
+    # exact path's a<b condition plans a nested-loop join whose streamed
+    # side is otherwise a single task (measured 20.5 s serial at sf0.1)
     nrm = (
-        emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        widen_small_input(emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")))
         .withColumn("__n", _norm(F.col("__vec")))
         .where(F.col("__n") > 0)  # zero vectors: no direction, ANSI div-by-0
     )
@@ -351,8 +355,6 @@ def embedding_cosine_pairs(
         )
         cand = a.join(b, F.col("a") < F.col("b"))
     elif method == "lsh":
-        from halyard_spark.session import widen_small_input
-
         # widen the tiny-scan case (hyperplane dot products are the heavy
         # narrow work here) and materialize bk once for its two join sides
         bk = lsh_buckets(

@@ -237,10 +237,17 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to buckets the query also
     hashes into (across n_tables independent tables), exact cosine re-rank
     over the deduped candidate set.  Recall < 1 by design; the scale path."""
+    from halyard_spark.session import widen_small_input
+
     qb = lsh_buckets(queries, dim, n_planes, n_tables, vec_col).select(
         F.col(id_col).alias("query_id"), "bucket"
     )
-    cb = lsh_buckets(emb, dim, n_planes, n_tables, vec_col).select(id_col, "bucket")
+    # widen a one-file corpus scan: n_tables x n_planes hyperplane dot
+    # products per row otherwise run as a single task (guide §2.5)
+    cb = lsh_buckets(
+        widen_small_input(emb.select(F.col(id_col), F.col(vec_col))),
+        dim, n_planes, n_tables, vec_col,
+    ).select(id_col, "bucket")
     pairs = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col(id_col) != F.col("query_id"))

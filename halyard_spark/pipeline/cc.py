@@ -47,8 +47,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Connect strictly-larger neighbors of each node to its min neighbor.
 
     No trailing distinct: the round's small-star output is deduped, and an
-    extra shuffle per round costs more than pushing a few duplicate rows
-    through the next join (each round is latency-bound, not volume-bound).
+    extra shuffle per round costs more than carrying a few duplicate rows
+    into the next round (each round is latency-bound, not volume-bound).
     """
     return (
         _with_min(_undirect(edges))

@@ -166,14 +166,14 @@ def reachable_from(
         # Auto depth: dedup-free broadcast hops are near-free (one fused
         # codegen stage regardless of depth), so fuse as many per driver
         # round as the carriage bound allows — a diameter-49 chain then
-        # converges in ceil(49/16)=4 rounds instead of 13.  Depth is
-        # capped at 16: Catalyst analysis of the unioned hop arms grows
-        # superlinearly with depth (measured at sf0.1: 8 hops 15.1 s,
-        # 16 hops 12.4 s, 24 hops 14.8 s, 32 hops 44.8 s end-to-end),
-        # so deeper fusion pays more in plan-compile time than it saves
-        # in driver rounds.  Shuffle-joined or
-        # high-fanout graphs stay at 4: there each hop is a real
-        # shuffle, and deeper rounds just defer the convergence check.
+        # converges in few rounds.  Depth limits are PLAN-COST bounds,
+        # measured at sf0.1: with union-of-arms rounds Catalyst analysis
+        # grows superlinearly past 16 hops (8: 15.1 s, 16: 12.4 s, 24:
+        # 14.8 s, 32: 44.8 s end-to-end), so fanout 2-4 graphs cap at
+        # 16; the degree-1 array-history round keeps the plan ~25 nodes
+        # at any depth, so it goes to 32.  Shuffle-joined or high-fanout
+        # graphs stay at 4: there each hop is a real shuffle, and deeper
+        # rounds just defer the convergence check.
         if max_deg is not None and max_deg == 1:
             # degree-1 graphs (chains/rings) carry no duplicates at any
             # depth, and the array-history round (below) keeps the plan

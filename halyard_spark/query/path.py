@@ -10,8 +10,69 @@ plan bounded.  Same shape as the connected-components stage.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round_sql_array(fv: str, ev: str, hops: int, broadcast: bool) -> str:
+    """One dedup-free BFS round as a single SQL statement: a flat chain of
+    ``hops`` LEFT JOINs whose per-row node sequence is collected with
+    ``array(...)`` + ``filter(not null)`` — once a path ends its join key
+    is NULL and every later hop stays NULL, so the filtered array is
+    exactly the hop-by-hop history the old iterative builder appended.
+    posexplode + min(position) then keeps each (root, node)'s FIRST-reached
+    depth, identical to the union-of-arms semantics.
+
+    Built as ONE statement because classic DataFrame methods analyze
+    eagerly: the old per-hop ``join(...).select(...)`` loop re-analyzed a
+    deepening plan 32 times per round — measured ~1 s of driver time per
+    round at sf0.1, more than the round's own execution.  One SQL string
+    is parsed and analyzed once (~60-100 ms)."""
+    hint = (
+        "/*+ BROADCAST(" + ", ".join(f"e{i}" for i in range(1, hops + 1)) + ") */ "
+        if broadcast
+        else ""
+    )
+    joins = [f"LEFT JOIN {ev} e1 ON s.node = e1.src"]
+    joins += [
+        f"LEFT JOIN {ev} e{i} ON e{i - 1}.dst = e{i}.src" for i in range(2, hops + 1)
+    ]
+    arr = ", ".join(f"e{i}.dst" for i in range(1, hops + 1))
+    return (
+        f"WITH chain AS (\n"
+        f"  SELECT {hint}s.root,\n"
+        f"         filter(array({arr}), x -> x IS NOT NULL) AS hist\n"
+        f"  FROM {fv} s\n  " + "\n  ".join(joins) + "\n)\n"
+        "SELECT root, __n AS node, min(__p) + 1 AS __h\n"
+        "FROM chain LATERAL VIEW posexplode(hist) t AS __p, __n\n"
+        "GROUP BY root, __n"
+    )
+
+
+def _round_sql_distinct(fv: str, ev: str, hops: int, broadcast: bool) -> str:
+    """One high-fanout BFS round: per-hop DISTINCT CTEs (bounding row
+    growth mid-round, which the array form cannot) unioned with their hop
+    depth, then min(__h) per pair — the same plan the old per-hop
+    DataFrame loop built, constructed in one analyzed statement."""
+    hint = "/*+ BROADCAST(e) */ " if broadcast else ""
+    ctes = [
+        f"h1 AS (SELECT {hint}DISTINCT s.root, e.dst AS node "
+        f"FROM {fv} s JOIN {ev} e ON s.node = e.src)"
+    ]
+    ctes += [
+        f"h{i} AS (SELECT {hint}DISTINCT p.root, e.dst AS node "
+        f"FROM h{i - 1} p JOIN {ev} e ON p.node = e.src)"
+        for i in range(2, hops + 1)
+    ]
+    arms = "\n  UNION ALL ".join(
+        f"SELECT root, node, {i} AS __h FROM h{i}" for i in range(1, hops + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT root, node, min(__h) AS __h FROM (\n  " + arms + "\n) GROUP BY root, node"
+    )
 
 
 def transitive_closure(
@@ -208,58 +269,31 @@ def reachable_from(
     # INTENTIONAL path-length cap — `p?` passes 1 — counted in hops
     # after the min_length seed advance, not a convergence budget.
     hops_left = max_length if max_length is not None else -1
-    while hops_left != 0:
+    # The round body is generated as ONE SQL statement over temp views of
+    # the frontier + edge set (_round_sql_array / _round_sql_distinct):
+    # the old per-hop DataFrame loop re-analyzed its deepening plan after
+    # every join — ~1 s of driver time per 32-hop round, more than the
+    # round's execution.  View names are invocation-unique (the session's
+    # temp namespace is shared across concurrent driver threads).
+    spark_s = edges.sparkSession
+    tag = uuid.uuid4().hex[:12]
+    ev, fv = f"path_edges_{tag}", f"path_frontier_{tag}"
+    edges.createOrReplaceTempView(ev)
+    round_sql_cache: dict[int, str] = {}
+    try:
+      while hops_left != 0:
         this_round = (
             hops_per_round if hops_left < 0 else min(hops_per_round, hops_left)
         )
         if hops_left > 0:
             hops_left -= this_round
-        if dedup_free:
-            # Array-history round: ONE left-join chain that appends each
-            # hop's destination to a per-row array, then posexplode +
-            # min-position at round end.  Semantically identical to the
-            # union-of-arms form below (per-pair minimum hop depth), but
-            # the plan is ~25 nodes instead of O(hops^2/2) join nodes —
-            # Catalyst re-analysis of the arm prefixes dominated every
-            # round's wall at sf0.1 (arms 12.3 s vs array 8.7 s at 16
-            # hops, and arms blow up superlinearly past 24).  The LEFT
-            # join keeps rows alive after their path ends (dst null =
-            # stop appending; a null node never matches another hop), so
-            # early-terminating paths still contribute their prefix.
-            empty_hist = F.slice(F.array(F.col("node")), 1, 0)
-            stepped = frontier.select("root", "node", empty_hist.alias("hist"))
-            for _ in range(this_round):
-                j = stepped.join(hop_edges, stepped.node == edges.src, "left")
-                stepped = j.select(
-                    "root",
-                    F.col("dst").alias("node"),
-                    F.when(
-                        F.col("dst").isNotNull(), F.concat("hist", F.array("dst"))
-                    ).otherwise(F.col("hist")).alias("hist"),
-                )
-            acc = (
-                stepped.select("root", F.posexplode("hist").alias("__p", "__n"))
-                .groupBy("root", F.col("__n").alias("node"))
-                .agg((F.min("__p") + F.lit(1)).alias("__h"))
-            )
-        else:
-            # High-fanout/shuffle-joined graphs: per-hop distinct bounds
-            # row growth, which the array form cannot do mid-round.
-            stepped = frontier
-            parts = []
-            for h in range(this_round):
-                stepped = stepped.join(hop_edges, stepped.node == edges.src).select(
-                    "root", F.col("dst").alias("node")
-                ).distinct()
-                parts.append(stepped.withColumn("__h", F.lit(h + 1)))
-            acc = parts[0]
-            for p in parts[1:]:
-                acc = acc.union(p)
-            # dedup keeping the FIRST-reached hop depth: rows at __h ==
-            # this_round are exactly the boundary frontier the next round
-            # must expand (everything shallower was expanded within this
-            # round); one aggregation, one anti-join, ONE action per round
-            acc = acc.groupBy("root", "node").agg(F.min("__h").alias("__h"))
+        sql = round_sql_cache.get(this_round)
+        if sql is None:
+            build = _round_sql_array if dedup_free else _round_sql_distinct
+            sql = build(fv, ev, this_round, broadcast_edges)
+            round_sql_cache[this_round] = sql
+        frontier.createOrReplaceTempView(fv)
+        acc = spark_s.sql(sql)
         if result is not None:
             # the accumulated result's exact row count is known (summed
             # fresh counts), so the seen-set side of the anti-join is
@@ -295,6 +329,12 @@ def reachable_from(
             # next frontier is PROVABLY empty — skip the verify round
             # (a whole plan+schedule cycle) the count==0 exit would cost
             break
+    finally:
+        for v in (fv, ev):
+            try:
+                spark_s.catalog.dropTempView(v)
+            except Exception:
+                pass
     out_schema = seeds.select(F.col("root").alias("src"), F.col("node").alias("dst")).limit(0)
     pairs = (
         out_schema

@@ -237,6 +237,54 @@ def widen_small_input(df, target: int | None = None, max_bytes_per_core: int = 8
     return df.repartition(target)
 
 
+def checkpoint_parallel(df, target: int | None = None):
+    """Eager localCheckpoint whose materialized RDD keeps >= ``target``
+    partitions (default: the session's core count).
+
+    AQE's partition coalescing sizes post-shuffle output by BYTES, so a
+    small-but-compute-heavy intermediate (LSH bucket frames, signature
+    tables) materializes as ONE partition — and every downstream consumer
+    of the checkpoint (join map sides, df-cap aggregations) then runs as a
+    single serial task while the other cores idle (guide §2.5 input skew,
+    measured ~1 s serial stages per consumer on dedup_minhash at sf0.1).
+    When the checkpoint lands below ``target`` partitions it is, by the
+    same coalescing logic, SMALL — so re-spreading it costs one tiny
+    shuffle; frames that materialize wide (the 100 TB case) pass through
+    untouched."""
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        target = target or spark.sparkContext.defaultParallelism
+        n = ck.rdd.getNumPartitions()
+    except Exception:
+        return ck
+    if n >= target:
+        return ck
+    return ck.repartition(target).localCheckpoint(eager=True)
+
+
+def rebind_to_session(df, session: SparkSession):
+    """Re-home a MATERIALIZED (checkpointed) DataFrame onto another
+    SparkSession that shares the same SparkContext.
+
+    ``SparkSession.newSession()`` gives an isolated SQL-conf clone — the
+    supported way to run one computation under different runtime settings
+    (e.g. a latency-tuned fixed-point loop) without mutating the conf that
+    concurrently-running jobs on the caller's session are planned with.
+    DataFrames are session-bound, so the clone needs its own frame over
+    the already-materialized rows; wrapping the checkpointed InternalRow
+    RDD costs nothing (no recompute, no Python boundary).  Callers MUST
+    pass an eagerly-materialized frame (localCheckpoint) — rebinding a
+    lazy plan would silently re-plan it under the target session's conf.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    jdf = df._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    new_jdf = session._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return _DF(new_jdf, session)
+
+
 def stop_all() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

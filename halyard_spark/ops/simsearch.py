@@ -80,19 +80,51 @@ def cosine_topk(
     )
 
 
+_BUCKETS_EXPR_CACHE: dict = {}
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _plane_dot_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL text for _dot(vec_col, <plane literal>) — identical arithmetic
+    (zip_with product of double casts, sequential fold from 0.0), but the
+    whole plane enters the plan through ONE ``F.expr`` parse instead of
+    ``dim`` per-element ``F.lit`` py4j round trips.  Per-element literal
+    construction measured ~3 s of driver time PER lsh_buckets call at
+    16 tables x 4 planes x 64 dims (two calls per ANN query) — several
+    times the query's actual execution.  The ``D`` suffix keeps each
+    constant a DOUBLE literal (bare decimals parse as DECIMAL), and
+    ``repr`` emits round-trip text, so the parsed doubles are bit-equal
+    to the old py4j-shipped floats."""
+    arr = ",".join(f"{v!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_bits_sql(vec_col: str, planes: list[list[float]]) -> str:
+    return ", ".join(
+        f"CASE WHEN {_plane_dot_sql(vec_col, p)} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+
+
 def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8, vec_col: str = "embedding", seed: int = 42) -> DataFrame:
-    """Add a 'bucket' column: sign-bit string over n_planes hyperplanes."""
+    """Add a 'bucket' column: sign-bit string over n_planes hyperplanes.
+
+    The bucket expression is built as ONE SQL string (_plane_dot_sql):
+    per-element literal construction is a py4j round trip per value, and
+    multi-table bucketing (tables x planes x dim of them) measured ~7 s
+    of driver-side plan build per ANN query — more than its execution."""
     planes = _planes(dim, n_planes, seed)
-    bits = [
-        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
-        for plane in planes
-    ]
-    return emb.withColumn("bucket", F.concat(*bits))
+    return emb.withColumn(
+        "bucket", F.expr(f"concat({_bucket_bits_sql(vec_col, planes)})")
+    )
 
 
 def lsh_buckets(
@@ -109,15 +141,24 @@ def lsh_buckets(
     tables trade compute for recall without touching bucket selectivity.
     Output explodes to n_tables rows per input row; at scale both sides of
     the candidate join shuffle only (id, bucket) pairs."""
-    table_cols = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + t)
-        bits = [
-            F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1").otherwise("0")
-            for plane in planes
-        ]
-        table_cols.append(F.concat(F.lit(f"{t}:"), *bits))
-    return emb.withColumn("bucket", F.explode(F.array(*table_cols)))
+    # ONE SQL expression for all tables (see lsh_bucket): per-element
+    # F.lit made plan BUILD dominate the query wall at tables x planes x
+    # dim, and even one F.expr per table still paid 16 parses.  The parsed
+    # Column is memoized per parameter tuple — planes are deterministic
+    # functions of (dim, n_planes, n_tables, seed), the ~50 KB expression
+    # costs ~1 s to parse, and every caller pair (query side + corpus
+    # side) uses the same parameters.  This caches a PLAN FRAGMENT, never
+    # data: each use still computes from its input frame.
+    key = (dim, n_planes, n_tables, seed, vec_col)
+    col = _BUCKETS_EXPR_CACHE.get(key)
+    if col is None:
+        tables = ", ".join(
+            f"concat('{t}:', {_bucket_bits_sql(vec_col, _planes(dim, n_planes, seed + t))})"
+            for t in range(n_tables)
+        )
+        col = F.explode(F.expr(f"array({tables})"))
+        _BUCKETS_EXPR_CACHE[key] = col
+    return emb.withColumn("bucket", col)
 
 
 def ivf_assign(

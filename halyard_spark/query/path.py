@@ -121,7 +121,9 @@ def transitive_closure(
     # _normalized: this function just deduped + checkpointed the edge set;
     # letting reachable_from re-distinct + re-checkpoint it would
     # materialize the edge table twice per closure call (code-review fix)
-    closure = reachable_from(edges, sources, min_length=1, _normalized=True)
+    closure = reachable_from(
+        edges, sources, min_length=1, _normalized=True, _sources_from_edges=True
+    )
     if min_length == 0:
         if nodes is None:
             nodes = edges.select(F.col("src").alias("n")).union(
@@ -139,6 +141,7 @@ def reachable_from(
     max_length: int | None = None,
     hops_per_round: int | None = None,
     _normalized: bool = False,
+    _sources_from_edges: bool = False,
 ) -> DataFrame:
     """Bound-source property path: all (src, dst) with a directed path of
     length >= min_length from each src in ``sources`` (a one-column
@@ -250,7 +253,13 @@ def reachable_from(
         else:
             hops_per_round = 4
     dedup_free = max_deg is not None and max_deg**hops_per_round <= 256
-    seeds = sources.select(F.col("src").alias("root"), F.col("src").alias("node")).distinct()
+    seeds = sources.select(F.col("src").alias("root"), F.col("src").alias("node"))
+    if not (_sources_from_edges and max_deg == 1):
+        # seed dedup costs an exchange in round 1's critical path; skip it
+        # only when uniqueness is PROVEN: the sources are the deduped edge
+        # set's own src column (transitive_closure) and max out-degree is
+        # 1, so each src appears exactly once
+        seeds = seeds.distinct()
     for _ in range(max(min_length - 1, 0)):
         seeds = (
             seeds.join(hop_edges, seeds.node == edges.src)

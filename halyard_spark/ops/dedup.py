@@ -345,9 +345,14 @@ def embedding_cosine_pairs(
 
     # widen a one-file scan before the per-pair dot-product compute: the
     # exact path's a<b condition plans a nested-loop join whose streamed
-    # side is otherwise a single task (measured 20.5 s serial at sf0.1)
+    # side is otherwise a single task (measured 20.5 s serial at sf0.1).
+    # The vector is pre-cast to array<double> ONCE PER ROW: the per-pair
+    # dot product otherwise evaluates an interpreted float->double cast
+    # per element per PAIR (O(n^2 * dim) casts); the cast is exact, so
+    # the arithmetic is bit-identical to casting inside the fold.
     nrm = (
         widen_small_input(emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")))
+        .withColumn("__vec", F.transform("__vec", lambda x: x.cast("double")))
         .withColumn("__n", _norm(F.col("__vec")))
         .where(F.col("__n") > 0)  # zero vectors: no direction, ANSI div-by-0
     )
@@ -359,7 +364,17 @@ def embedding_cosine_pairs(
         b = nrm.select(
             F.col("__id").alias("b"), F.col("__vec").alias("__vb"), F.col("__n").alias("__nb")
         )
-        cand = a.join(b, F.col("a") < F.col("b"))
+        # a<b FIRST in the conjunction: nested-loop join conditions are
+        # evaluated interpreted per ordered pair, And short-circuits, and
+        # the cosine term is ~100x the comparison — putting the cheap
+        # half-plane cut first halves the dominant cost.  (Left as a
+        # .where(), Catalyst pushed the threshold filter in FRONT of the
+        # a<b term: every one of the n^2 ordered pairs paid the fold.)
+        cand = a.join(
+            b,
+            (F.col("a") < F.col("b"))
+            & (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")) >= threshold),
+        )
     elif method == "lsh":
         # widen the tiny-scan case (hyperplane dot products are the heavy
         # narrow work here) and materialize bk once for its two join sides
@@ -383,6 +398,11 @@ def embedding_cosine_pairs(
         raise ValueError(f"unknown method {method!r}")
 
     cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    if method == "exact":
+        # threshold already enforced inside the join condition (ordered
+        # after a<b); re-filtering here would push a THIRD cosine term
+        # into the nested-loop condition
+        return cand.select("a", "b", F.round(cos, 6).alias("cos"))
     return (
         cand.withColumn("__cos", cos)
         .where(F.col("__cos") >= threshold)

@@ -112,7 +112,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """
     caller = edges.sparkSession
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # LAZY checkpoint: _latency_clone's sizing aggregation is the next
+    # action and materializes it — fusing the two saves a whole scheduled
+    # job on the query's critical path (an eager checkpoint here ran the
+    # distinct, then the agg re-scanned the checkpoint)
+    cur = cur.localCheckpoint(eager=False)
     cur, clone = _latency_clone(cur)
     loop_spark = clone if clone is not None else caller
     # unique per invocation: concurrent pipeline threads share the caller

@@ -77,8 +77,13 @@ def stats_rdf(triples: DataFrame) -> DataFrame:
     writes void:triples / void:distinctSubjects / void:properties /
     void:distinctObjects into halyard:statsContext).  The result has the
     store's own (subj, pred, obj, ctx) shape, so it can be unioned into
-    the store and queried like any other graph."""
-    vs = void_stats(triples)
+    the store and queried like any other graph.
+
+    ``vs`` is materialized before the four per-property projections:
+    each union arm otherwise re-runs the whole void_stats join tree
+    (4x the three distinct-aggregations).  Scale-safe unconditionally —
+    the frame is one row per NAMED GRAPH, never data-sized."""
+    vs = void_stats(triples).localCheckpoint(eager=False)
     graph_iri = F.when(F.col("graph") == "<default>", F.lit(DEFAULT_GRAPH_IRI)).otherwise(
         F.col("graph")
     )

@@ -96,3 +96,44 @@ def test_insert_data_plain_iri_still_fine(spark):
         _store(spark), f"INSERT DATA {{ <{EX}a> <{EX}p> <{EX}b> }}"
     )
     assert out.count() == 2
+
+
+# -- r6 optimization: exact embedding-pair join-condition ordering --------
+
+def test_exact_embedding_condition_orders_cheap_cut_first(spark):
+    """The exact path's nested-loop condition must evaluate `a < b`
+    BEFORE the cosine fold: And short-circuits, and letting Catalyst
+    push the threshold filter in front of the comparison made every
+    ordered pair pay the interpreted fold (r6 regression guard).  Also
+    pins the boundary semantics: a pair exactly AT the threshold stays
+    included."""
+    from pyspark.sql import Row
+
+    from halyard_spark.ops import dedup as D
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]),
+         Row(vec_id=2, embedding=[0.0, 1.0]),   # cos(1,2) = 0.0
+         Row(vec_id=3, embedding=[1.0, 1.0])]   # cos(1,3) = cos(2,3) ~ 0.7071
+    )
+    pairs = D.embedding_cosine_pairs(emb, 0.5, method="exact")
+    got = {(r["a"], r["b"]): r["cos"] for r in pairs.collect()}
+    assert set(got) == {(1, 3), (2, 3)}
+    assert abs(got[(1, 3)] - 0.707107) < 1e-6
+    # exact threshold boundary: cos == t must be kept (>=, not >).
+    # 1/sqrt(2) as a Python double is bit-identical to Spark's
+    # 1.0 / (1.0 * SQRT(2.0)) for these vectors.
+    import math
+
+    at_t = D.embedding_cosine_pairs(emb, 1.0 / math.sqrt(2.0), method="exact")
+    assert {(r["a"], r["b"]) for r in at_t.collect()} == {(1, 3), (2, 3)}
+    # plan gate: the join condition's first conjunct is the id comparison,
+    # not the aggregate fold (the join prints as BroadcastNestedLoopJoin
+    # or CartesianProduct depending on side sizes; both inline the
+    # condition on their operator line)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    join_line = next(
+        ln for ln in plan.splitlines()
+        if "NestedLoopJoin" in ln or "CartesianProduct" in ln
+    )
+    assert join_line.index(" < ") < join_line.index("aggregate("), join_line
